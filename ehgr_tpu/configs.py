@@ -1,0 +1,232 @@
+"""Typed configuration tree for the ehgr_tpu framework.
+
+The reference spreads hyperparameters across per-script argparse flags, a
+mutable ``params`` dict, and shell recipes (``/root/reference/sh/train_ego.sh:4-20``,
+``sh/train_nv.sh:2-8``).  Here there is ONE dataclass tree with named presets
+that reproduce those recipes exactly; every trainer/evaluator consumes a
+``Config`` and nothing else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + input pipeline settings (reference L0/L1)."""
+
+    dataset: str = "EgoGesture"          # 'EgoGesture' | 'NvGesture' | 'synthetic'
+    annot_path: str = ""                 # dir holding {train,val,test,...}.pkl
+    clip_len: int = 8                    # T, frames per clip (--clip_len)
+    batch_size: int = 8                  # clips per global batch (--batch_size)
+    num_classes: int = 83                # 83 EgoGesture / 25 NvGesture
+    # spatial pipeline (reference: GroupScale/GroupCenterCrop/GroupNormalize)
+    scale_size: int = 224                # resize short side / square (per dataset)
+    crop_size: int = 224
+    # ImageNet statistics (models_MTMM.py:124-125)
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # test protocol (test.py:204-244, sh/test_*.sh)
+    clip_num: int = 10                   # clips per video at test time
+    test_crops: int = 1                  # 1 (Ego) | 3 | 10 (Nv variants)
+    num_workers: int = 4
+    seed: int = 0
+    # host pipeline: 'pil' decodes JPEGs; 'synthetic' generates random frames
+    backend: str = "pil"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family + backbone settings (reference L2-L4)."""
+
+    arch: str = "tsn"                    # tsn | tsn_mtmm | tsn_sd | tsn_mtmm_sd |
+                                         # tsn_middle{1,2,3} | r2plus1d | slowonly
+    base_model: str = "resnet50"         # resnet50 | resnet101 | mobilenet_v2 |
+                                         # bn_inception | res2net50
+    num_segments: int = 8                # T at model level (== clip_len)
+    num_classes: int = 83
+    modality: str = "RGB"                # RGB | Flow | RGBDiff
+    modal: str = "rgb"                   # rgb | rgb_depth | (+_skeleton/_text for mtmm_sd)
+    consensus_type: str = "avg"
+    dropout: float = 0.5
+    partial_bn: bool = True              # freeze all BNs but the first (models_MTMM.py:159-175)
+    # temporal module injected on conv1 of residual blocks
+    is_shift: bool = True
+    temporal_module: str = "action"      # 'action' | 'tsm' | 'none'
+    shift_div: int = 8
+    shift_place: str = "blockres"
+    fc_lr5: bool = True                  # classifier head gets lr x5 / bias x10
+    pretrain: str = "imagenet"           # 'imagenet' expects a converted ckpt; '' = random
+    # compute dtype for the backbone (params stay f32)
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """SGD + 9-group lr/decay policy + step decay (models_MTMM.py:180-266, utils.py:39-46)."""
+
+    lr: float = 0.00125
+    momentum: float = 0.9
+    weight_decay: float = 1e-5
+    lr_steps: Tuple[int, ...] = (10, 15, 20)   # epochs at which lr *= 0.1
+    gamma: float = 0.1
+    epochs: int = 25
+    clip_gradient: Optional[float] = 20.0      # --clip-gradient default
+    ema_decay: float = 0.9999                  # 0.999 for NvGesture (sh/train_nv.sh:5)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """MTMM + SD loss weights (train_mtmm.py:223-231, train_sd.py:69-75,262-264)."""
+
+    depth_weight: float = 0.01        # CE + w * MSE(depth)
+    depth_size: int = 56              # GT depth resized to 56x56 for the global decoder
+    temperature: float = 3.0          # KD softmax temperature
+    alpha: float = 0.1                # KD mixing: (1-a)*CE + a*KD
+    beta: float = 1e-6                # feature-hint weight
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh layout (new component, SURVEY.md §2.4)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1           # >1 shards classifier heads over 'model'
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Logging / checkpoint housekeeping (reference runs/ layout)."""
+
+    run_dir: str = "runs"
+    model_name: str = "ACTION_resnet50"
+    display: int = 100                # log every N steps
+    save_depth_images: bool = False   # dump depth-pred JPEGs like train_mtmm.py:267-271
+    seed: int = 0
+    checkpoint_path: str = ""         # resume / stage-1 weights (--checkpoint_path)
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def replace(self, **kw) -> "Config":
+        return replace(self, **kw)
+
+    def validate(self) -> "Config":
+        assert self.data.clip_len == self.model.num_segments, (
+            "clip_len must equal num_segments")
+        assert self.data.num_classes == self.model.num_classes
+        assert self.model.temporal_module in ("action", "tsm", "none")
+        assert self.model.arch in (
+            "tsn", "tsn_mtmm", "tsn_sd", "tsn_mtmm_sd",
+            "tsn_middle1", "tsn_middle2", "tsn_middle3",
+            "r2plus1d", "slowonly")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Presets reproducing the reference shell recipes.
+# ---------------------------------------------------------------------------
+
+def _ego_base(**model_kw) -> Config:
+    """sh/train_ego.sh: lr 0.00125, wd 1e-5, dropout .5, bs 8, 8 frames,
+    epochs 25, lr_steps (10,15,20), resnet50+ACTION."""
+    return Config(
+        data=DataConfig(dataset="EgoGesture", num_classes=83,
+                        scale_size=224, crop_size=224, test_crops=1),
+        model=ModelConfig(num_classes=83, **model_kw),
+        optim=OptimConfig(epochs=25, lr_steps=(10, 15, 20)),
+    )
+
+
+def _nv_base(**model_kw) -> Config:
+    """sh/train_nv.sh: epochs 80, lr_steps (50,60,70), ema 0.999, 3-crop 256 test."""
+    return Config(
+        data=DataConfig(dataset="NvGesture", num_classes=25,
+                        scale_size=256, crop_size=256, test_crops=3),
+        model=ModelConfig(num_classes=25, **model_kw),
+        optim=OptimConfig(epochs=80, lr_steps=(50, 60, 70), ema_decay=0.999),
+    )
+
+
+PRESETS = {
+    # EgoGesture
+    "ego_baseline": _ego_base(arch="tsn"),
+    "ego_mtmm": _ego_base(arch="tsn_mtmm", modal="rgb_depth"),
+    "ego_sd": _ego_base(arch="tsn_sd"),
+    "ego_mtmm_sd": _ego_base(arch="tsn_mtmm_sd", modal="rgb_depth"),
+    # NvGesture
+    "nv_baseline": _nv_base(arch="tsn"),
+    "nv_mtmm": _nv_base(arch="tsn_mtmm", modal="rgb_depth"),
+    "nv_sd": _nv_base(arch="tsn_sd"),
+    "nv_mtmm_sd": _nv_base(arch="tsn_mtmm_sd", modal="rgb_depth"),
+}
+
+
+def get_preset(name: str) -> Config:
+    cfg = PRESETS[name]
+    return cfg.validate()
+
+
+def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") -> Config:
+    """Small argparse shim so the CLI verbs keep the reference's flag names."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default=default_preset, choices=sorted(PRESETS))
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--annot_path", default=None)
+    p.add_argument("--clip_len", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr_steps", type=int, nargs="+", default=None)
+    p.add_argument("--base_model", default=None)
+    p.add_argument("--is_shift", action="store_true", default=None)
+    p.add_argument("--shift_div", type=int, default=None)
+    p.add_argument("--modal", default=None)
+    p.add_argument("--model_name", default=None)
+    p.add_argument("--ema_decay", type=float, default=None)
+    p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--clip_num", type=int, default=None)
+    p.add_argument("--test_crops", type=int, default=None)
+    p.add_argument("--scale_size", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_preset(args.preset)
+    d, m, o, r = cfg.data, cfg.model, cfg.optim, cfg.run
+
+    def upd(obj, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return replace(obj, **kw) if kw else obj
+
+    d = upd(d, dataset=args.dataset, annot_path=args.annot_path,
+            clip_len=args.clip_len, batch_size=args.batch_size,
+            clip_num=args.clip_num, test_crops=args.test_crops,
+            scale_size=args.scale_size, crop_size=args.crop_size)
+    if args.synthetic:
+        d = replace(d, backend="synthetic")
+    m = upd(m, base_model=args.base_model, shift_div=args.shift_div,
+            modal=args.modal, dropout=args.dropout,
+            num_segments=args.clip_len)
+    o = upd(o, lr=args.lr, weight_decay=args.wd, epochs=args.epochs,
+            lr_steps=tuple(args.lr_steps) if args.lr_steps else None,
+            ema_decay=args.ema_decay)
+    r = upd(r, model_name=args.model_name, checkpoint_path=args.checkpoint_path)
+    return Config(data=d, model=m, optim=o, loss=cfg.loss,
+                  parallel=cfg.parallel, run=r).validate()
