@@ -1,0 +1,145 @@
+"""ResNet-50/101 backbone (flax, NHWC) with temporal-module injection.
+
+Replaces the reference's runtime module surgery
+(``make_temporal_shift``, ``/root/reference/models/action.py:179-230``, which
+mutates ``block.conv1 = Action(conv1)`` on a torchvision ResNet) with a
+constructor flag: ``temporal='action' | 'tsm' | 'none'`` decides what
+``conv1`` of each bottleneck is at build time.  Same capability, no mutation,
+and the whole network stays a pure function.
+
+Architecture matches torchvision ResNet v1 exactly (stride on conv2, 1x1
+downsample), so converted ImageNet / reference checkpoints are
+logit-comparable.  Blocks are named ``layer{i}_{j}`` and params follow a
+deterministic layout consumed by ``ehgr_tpu.models.torch_import``.
+
+Every-other-block injection for >=23-block layer3 (ResNet-101) replicates
+``action.py:208-218`` (``n_round=2``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ehgr_tpu.ops.action import ActionConv, TSMConv
+
+STAGE_SIZES = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4), NHWC, optional temporal conv1."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    temporal: str = "none"        # what conv1 is: 'action' | 'tsm' | 'none'
+    n_segment: int = 8
+    shift_div: int = 8
+    bn_frozen: bool = True        # partial-BN: freeze all non-stem BNs
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ura = (not train) or self.bn_frozen
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        residual = x
+        if self.temporal == "action":
+            out = ActionConv(self.planes, n_segment=self.n_segment,
+                             shift_div=self.shift_div, bn_frozen=self.bn_frozen,
+                             dtype=self.dtype, name="conv1")(x, train=train)
+        elif self.temporal == "tsm":
+            out = TSMConv(self.planes, n_segment=self.n_segment,
+                          shift_div=self.shift_div, dtype=self.dtype,
+                          name="conv1")(x, train=train)
+        else:
+            out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                          dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        # explicit pad=1: torch semantics for stride-2 (SAME pads right-only)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet with per-stage feature taps.
+
+    ``__call__`` returns a dict with keys ``stem`` (post-maxpool, the
+    reference's ``maxpool`` tap), ``layer1..layer4``, and ``pool`` (global
+    average, ``[NT, C]``) — one traversal serves TSN, MTMM (layer4 tap,
+    ``models_MTMM.py:70-77``), and SD (per-stage exits,
+    ``models_SD.py:364-431``)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    temporal: str = "action"
+    n_segment: int = 8
+    shift_div: int = 8
+    partial_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 max_stage: int = 4) -> Dict[str, jnp.ndarray]:
+        # stem — the one BN that stays live under partial-BN
+        # (models_MTMM.py:159-175)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        taps: Dict[str, jnp.ndarray] = {"stem": x}
+        planes = (64, 128, 256, 512)
+        # ACTION goes on every block; every-other for >=23-block stages
+        # (action.py:208-218)
+        for i, (n_blocks, p) in enumerate(zip(self.stage_sizes, planes), 1):
+            if i > max_stage:
+                # deployment truncation (TSN_MiddleK, models_SD.py:563-565):
+                # deeper stages are never traced or compiled
+                return taps
+            n_round = 2 if n_blocks >= 23 else 1
+            for j in range(n_blocks):
+                stride = 2 if (i > 1 and j == 0) else 1
+                temporal = self.temporal if j % n_round == 0 else "none"
+                x = Bottleneck(
+                    planes=p, stride=stride, has_downsample=(j == 0),
+                    temporal=temporal, n_segment=self.n_segment,
+                    shift_div=self.shift_div, bn_frozen=self.partial_bn,
+                    dtype=self.dtype, name=f"layer{i}_{j}")(x, train=train)
+            taps[f"layer{i}"] = x
+
+        taps["pool"] = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        return taps
+
+
+def build_backbone(base_model: str, temporal: str, n_segment: int,
+                   shift_div: int, partial_bn: bool,
+                   dtype: jnp.dtype) -> ResNetBackbone:
+    if base_model not in STAGE_SIZES:
+        raise ValueError(f"unknown resnet variant: {base_model}")
+    return ResNetBackbone(
+        stage_sizes=STAGE_SIZES[base_model], temporal=temporal,
+        n_segment=n_segment, shift_div=shift_div, partial_bn=partial_bn,
+        dtype=dtype, name="base_model")

@@ -1,0 +1,188 @@
+"""torch -> flax checkpoint conversion (parity gate, SURVEY.md §5).
+
+Converts torchvision-ResNet / reference-TSN state_dicts (the
+``{'state_dict': ...}`` payload of ``utils.py:24-36`` checkpoints) into this
+framework's ``{'params', 'batch_stats'}`` variable tree so converted
+reference checkpoints are logit-comparable.
+
+The mapping is mechanical: each flax leaf path is rewritten to its torch key
+by name rules, then the tensor is transposed by rank:
+
+  conv2d  [O,I,kh,kw]      -> [kh,kw,I,O]   (also depthwise [C,1,kh,kw])
+  conv3d  [O,I,kt,kh,kw]   -> [kt,kh,kw,I,O]
+  conv1d  [O,I,k]          -> [k,I,O]
+  linear  [O,I]            -> [I,O]
+  1x1 conv used as Dense [O,I,1,1] -> [I,O]
+  action_shift [C,1,3]     -> [3,C]
+
+Name rules (flax -> torch): ``layer{i}_{j}`` -> ``layer{i}.{j}``;
+``downsample_conv/bn`` -> ``downsample.0/1``; Action children ``pK_*`` ->
+``action_pK_*``; ``shift_w`` -> ``action_shift.weight``; decoder
+``conv{0..4}/bn{0..3}`` -> ``global_decoder.{seq idx}``; scala
+``scala{k}/sep{i}/{dw1,pw1,bn1,dw2,pw2,bn2}`` -> ``scala{k}.{i}.op.{0,1,2,4,5,6}``;
+BN leaves ``scale/bias/mean/var`` -> ``weight/bias/running_mean/running_var``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax.core import freeze, unfreeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+_ACTION_CHILD = {
+    "p1_conv": "action_p1_conv1",
+    "p2_squeeze": "action_p2_squeeze",
+    "p2_conv1": "action_p2_conv1",
+    "p2_expand": "action_p2_expand",
+    "p3_squeeze": "action_p3_squeeze",
+    "p3_bn1": "action_p3_bn1",
+    "p3_conv1": "action_p3_conv1",
+    "p3_expand": "action_p3_expand",
+    "net": "net",
+}
+_BN_LEAF = {"scale": "weight", "bias": "bias",
+            "mean": "running_mean", "var": "running_var"}
+# global decoder: nn.Sequential indices of convs/bns (models_MTMM.py:129-155)
+_DECODER_SEQ = {"conv0": "0", "bn0": "1", "conv1": "4", "bn1": "5",
+                "conv2": "8", "bn2": "9", "conv3": "12", "bn3": "13",
+                "conv4": "16"}
+# SepConv op indices (models_SD.py:84-97)
+_SEPCONV_SEQ = {"dw1": "0", "pw1": "1", "bn1": "2", "dw2": "4", "pw2": "5",
+                "bn2": "6"}
+
+
+def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    """Rewrite a flax variable path (collection stripped) to a torch key."""
+    parts = list(path)
+    leaf = parts.pop()
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p.startswith("layer") and "_" in p:
+            stage, block = p[5:].split("_")
+            out.extend([f"layer{stage}", block])
+        elif p == "downsample_conv":
+            out.extend(["downsample", "0"])
+        elif p == "downsample_bn":
+            out.extend(["downsample", "1"])
+        elif p in _ACTION_CHILD:
+            out.append(_ACTION_CHILD[p])
+        elif p == "global_decoder":
+            out.append("global_decoder")
+            nxt = parts[i + 1]
+            out.append(_DECODER_SEQ[nxt])
+            i += 1
+        elif p.startswith("scala"):
+            out.append(p)  # scala1
+            sep = parts[i + 1]               # sepK
+            out.append(sep[3:])              # sequential index
+            out.append("op")
+            out.append(_SEPCONV_SEQ[parts[i + 2]])
+            i += 2
+        else:
+            out.append(p)
+        i += 1
+
+    if leaf == "shift_w":
+        out.append("action_shift")
+        leaf_name = "weight"
+    elif leaf == "kernel":
+        leaf_name = "weight"
+    elif leaf in _BN_LEAF and (out and ("bn" in out[-1] or
+                                        out[-1] in ("1", "2", "5", "6", "9",
+                                                    "13"))):
+        leaf_name = _BN_LEAF[leaf]
+    elif leaf in _BN_LEAF:
+        leaf_name = _BN_LEAF[leaf]
+    else:
+        leaf_name = leaf  # bias
+    return ".".join(out + [leaf_name])
+
+
+def _convert_tensor(t: np.ndarray, flax_shape: Tuple[int, ...],
+                    torch_key: str) -> np.ndarray:
+    t = np.asarray(t)
+    if torch_key.endswith("action_shift.weight"):
+        return t[:, 0, :].T                    # [C,1,3] -> [3,C]
+    if t.ndim == 4 and len(flax_shape) == 2:   # 1x1 conv used as Dense
+        return t[:, :, 0, 0].T
+    if t.ndim == 4:
+        return t.transpose(2, 3, 1, 0)
+    if t.ndim == 5:
+        return t.transpose(2, 3, 4, 1, 0)
+    if t.ndim == 3:
+        return t.transpose(2, 1, 0)
+    if t.ndim == 2:
+        return t.T
+    return t
+
+
+def convert_state_dict(state_dict: Mapping[str, Any],
+                       variables: Mapping[str, Any],
+                       add_base_prefix: bool = False,
+                       strict: bool = False):
+    """Fill a flax variable tree from a torch state_dict.
+
+    ``variables``: output of ``model.init`` — provides the target tree and
+    shapes.  ``add_base_prefix=True`` maps a bare torchvision ResNet
+    state_dict onto ``base_model/...`` (the common "load ImageNet weights"
+    path, ``models_MTMM.py:109-127``).  Non-strict loading mirrors
+    ``load_state_dict(strict=False)`` (``train_sd.py:644-647``): leaves
+    without a torch source keep their init values (how SD absorbs MTMM
+    weights while new branches stay fresh).
+
+    Returns ``(new_variables, missing_keys)``.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                           else v)
+
+    flat = flatten_dict(unfreeze(variables))
+    out = {}
+    missing = []
+    for path, leaf in flat.items():
+        tpath = path[1:]  # strip collection ('params' / 'batch_stats')
+        key = _flax_path_to_torch_key(tuple(tpath))
+        if add_base_prefix and key.startswith("base_model."):
+            key_try = key[len("base_model."):]
+        else:
+            key_try = key
+        src = sd.get(key, sd.get(key_try))
+        if src is None:
+            missing.append(key)
+            out[path] = leaf
+            continue
+        conv = _convert_tensor(src, tuple(np.shape(leaf)), key)
+        if conv.shape != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key}: torch {conv.shape} vs flax "
+                f"{np.shape(leaf)} at {path}")
+        out[path] = jnp.asarray(conv, dtype=jnp.asarray(leaf).dtype)
+    if strict and missing:
+        raise KeyError(f"missing torch keys for: {missing[:10]} "
+                       f"(+{max(0, len(missing) - 10)} more)")
+    return unflatten_dict(out), missing
+
+
+def load_torch_checkpoint(path: str, variables: Mapping[str, Any],
+                          strict: bool = False):
+    """Load a reference ``*.pth.tar`` checkpoint ({'state_dict', 'optimizer'},
+    ``utils.py:24-36``) or a bare state_dict file."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload) if isinstance(payload, dict) \
+        else payload
+    add_base = not any(k.startswith(("base_model.", "module.base_model."))
+                       for k in sd)
+    return convert_state_dict(sd, variables, add_base_prefix=add_base,
+                              strict=strict)

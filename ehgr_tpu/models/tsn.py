@@ -1,0 +1,144 @@
+"""TSN task models (flax): generic, MTMM, SD, MTMM+SD, and truncated deploys.
+
+References (all under ``/root/reference/``):
+* generic TSN       — ``models/models.py:13-477``
+* TSN-MTMM          — ``models/models_MTMM.py:17-292``
+* TSN-SD            — ``models/models_SD.py:104-431``
+* TSN_Middle1/2/3   — ``models/models_SD.py:434-1232``
+* TSN-MTMM-SD       — ``models/models_MTMM_SD.py:105-532``
+
+Design: one backbone traversal produces every tap (the reference's MTMM+SD
+forward runs its feature extractor twice, ``models_MTMM_SD.py:492`` — fixed
+here).  Input is ``[N, T, H, W, C]``; frames fold into the batch as ``NT``
+for the 2D backbone (the MXU sees one big conv batch), exits/consensus
+un-fold back to ``[N, T, ...]``.
+
+The reference's four near-clone 1200-line model files collapse into this one
+module with static flags; ``variant()`` builds each surface:
+  tsn          -> logits
+  tsn_mtmm     -> (logits, depth[NT,56,56,1])
+  tsn_sd       -> (logits, mid1, mid2, mid3, final_fea, f1, f2, f3)
+  tsn_mtmm_sd  -> SD tuple + depth
+  tsn_middleK  -> exit-K logits only (deployment truncation: deeper stages
+                  are never traced, so XLA compiles only the truncated graph)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ehgr_tpu.models.decoders import GlobalDepthDecoder, Scala
+from ehgr_tpu.models.resnet import build_backbone
+from ehgr_tpu.ops.consensus import consensus
+
+_SCALA_WIDTHS = {1: (512, 1024, 2048), 2: (1024, 2048), 3: (2048,)}
+
+
+def _head_init():
+    """fc head init: weight ~ N(0, 0.001), bias 0 (models_MTMM.py:97-106)."""
+    return dict(kernel_init=nn.initializers.normal(stddev=0.001),
+                bias_init=nn.initializers.zeros)
+
+
+class TSN(nn.Module):
+    """Temporal Segment Network with optional MTMM / SD heads."""
+
+    num_class: int
+    num_segments: int
+    base_model: str = "resnet50"
+    temporal: str = "action"            # 'action' | 'tsm' | 'none'
+    shift_div: int = 8
+    consensus_type: str = "avg"
+    dropout: float = 0.5
+    partial_bn: bool = True
+    with_depth: bool = False            # MTMM global depth decoder
+    with_sd: bool = False               # SD early exits
+    truncate_at: int = 0                # 0 = full; 1/2/3 = TSN_MiddleK
+    dtype: Any = jnp.float32
+
+    def _consensus(self, logits_nt: jnp.ndarray) -> jnp.ndarray:
+        x = logits_nt.reshape(-1, self.num_segments, logits_nt.shape[-1])
+        return consensus(x, self.consensus_type)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        n, t = x.shape[0], x.shape[1]
+        assert t == self.num_segments, (t, self.num_segments)
+        x = x.reshape((n * t,) + x.shape[2:]).astype(self.dtype)
+
+        backbone = build_backbone(
+            self.base_model, temporal=self.temporal,
+            n_segment=self.num_segments, shift_div=self.shift_div,
+            partial_bn=self.partial_bn, dtype=self.dtype)
+        # Truncated deploy models only trace the stages they keep
+        # (models_SD.py:563-565: deeper layers become None).
+        max_stage = self.truncate_at if self.truncate_at else 4
+        taps = backbone(x, train=train, max_stage=max_stage)
+
+        outs: Dict[str, jnp.ndarray] = {}
+
+        if self.with_sd or self.truncate_at:
+            for k in (1, 2, 3):
+                if f"layer{k}" not in taps or (
+                        self.truncate_at and k != self.truncate_at):
+                    continue
+                h = Scala(_SCALA_WIDTHS[k], dtype=self.dtype,
+                          name=f"scala{k}")(taps[f"layer{k}"], train=train)
+                h = jnp.mean(h, axis=(1, 2))                 # [NT, 2048]
+                outs[f"mid{k}_fea"] = h
+                logits = nn.Dense(self.num_class, dtype=self.dtype,
+                                  name=f"middle_fc{k}",
+                                  **_head_init())(h)
+                outs[f"mid{k}"] = self._consensus(logits)
+
+        if self.truncate_at:
+            out = outs[f"mid{self.truncate_at}"]
+            return out.astype(jnp.float32)
+
+        feat = taps["pool"]                                   # [NT, 2048]
+        outs["final_fea"] = feat
+        h = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        logits = nn.Dense(self.num_class, dtype=self.dtype, name="new_fc",
+                          **_head_init())(h)
+        output = self._consensus(logits)
+
+        if self.with_depth:
+            depth = GlobalDepthDecoder(dtype=self.dtype, name="global_decoder")(
+                taps["layer4"], train=train)
+            outs["depth"] = depth.astype(jnp.float32)
+
+        if not self.with_sd and not self.with_depth:
+            return output.astype(jnp.float32)
+
+        f32 = lambda v: v.astype(jnp.float32)
+        if self.with_sd:
+            sd = (f32(output), f32(outs["mid1"]), f32(outs["mid2"]),
+                  f32(outs["mid3"]), f32(outs["final_fea"]),
+                  f32(outs["mid1_fea"]), f32(outs["mid2_fea"]),
+                  f32(outs["mid3_fea"]))
+            return sd + (outs["depth"],) if self.with_depth else sd
+        return f32(output), outs["depth"]
+
+
+def variant(arch: str, num_class: int, num_segments: int,
+            base_model: str = "resnet50", temporal: str = "action",
+            shift_div: int = 8, dropout: float = 0.5,
+            partial_bn: bool = True, dtype: Any = jnp.float32) -> TSN:
+    """Factory mapping the reference's model files to TSN flags."""
+    kw = dict(num_class=num_class, num_segments=num_segments,
+              base_model=base_model, temporal=temporal, shift_div=shift_div,
+              dropout=dropout, partial_bn=partial_bn, dtype=dtype)
+    if arch == "tsn":
+        return TSN(**kw)
+    if arch == "tsn_mtmm":
+        return TSN(with_depth=True, **kw)
+    if arch == "tsn_sd":
+        return TSN(with_sd=True, **kw)
+    if arch == "tsn_mtmm_sd":
+        return TSN(with_sd=True, with_depth=True, **kw)
+    if arch.startswith("tsn_middle"):
+        return TSN(truncate_at=int(arch[-1]), **kw)
+    raise ValueError(f"unknown arch: {arch}")

@@ -1,0 +1,129 @@
+"""ACTION temporal module (flax), NHWC / explicit-T design.
+
+Reference: ``/root/reference/models/action.py:8-116`` — a wrapper around a
+bottleneck's 1x1 ``conv1`` adding (1) a learnable temporal shift, (2) three
+multiplicative excitation gates (spatial-temporal, channel, motion), then the
+wrapped conv on the gated sum.
+
+TPU re-design notes (vs the reference's NT<->(N,T) "reshape dance",
+``action.py:61-73``):
+
+* Input stays ``[N, T, H, W, C]`` — no permutes; the shift is three fused
+  multiply-adds on the VPU (``ehgr_tpu.ops.temporal_shift.learnable_shift``),
+  not a grouped Conv1d over a ``[N*H*W, C, T]`` view.
+* The channel/motion "squeeze" 1x1 convs on pooled ``[N, T, C]`` tensors are
+  plain Dense matmuls — MXU-friendly, no degenerate 1x1 spatial dims.
+* Everything is shape-static so XLA fuses gates into the surrounding convs.
+
+Gate math replicated exactly:
+  x_shift = learnable_shift(x)                                (ref :65-73)
+  STE: sigmoid(conv3d_3x3x3(mean_c(x_shift)))                 (ref :77-83)
+  CE : sigmoid(expand(relu(conv1d_T(squeeze(gap(x_shift)))))) (ref :86-96)
+  ME : sigmoid(expand(gap(pad_T(dwconv3x3(x)[1:] - x[:-1])))) (ref :99-113)
+  out = net(sum_i (x_shift * gate_i + x_shift))               (ref :115)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ehgr_tpu.ops.temporal_shift import learnable_shift, tsm_shift_init
+
+
+class ActionConv(nn.Module):
+    """ACTION wrapper owning the conv it feeds (the reference's ``net``).
+
+    Attributes mirror the reference ctor (``action.py:9-23``): ``features`` is
+    the wrapped conv's out-channels, ``n_segment`` = T, ``shift_div`` the TSM
+    fold divisor.  ``bn_frozen`` freezes the ME branch BN (the effective
+    reference behavior under partial-BN; see SURVEY.md §2.2 notes).
+    """
+
+    features: int
+    n_segment: int
+    shift_div: int = 8
+    bn_frozen: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nt, h, w, c = x.shape
+        n = nt // self.n_segment
+        t = self.n_segment
+        reduced = c // 16
+
+        x5 = x.reshape(n, t, h, w, c)
+
+        # (1) learnable temporal shift, TSM-initialized (ref :25-36)
+        shift_w = self.param(
+            "shift_w",
+            lambda key, shape: tsm_shift_init(c, self.shift_div), (3, c))
+        x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
+
+        # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
+        p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)       # [N,T,H,W,1]
+        p1 = nn.Conv(1, (3, 3, 3), use_bias=False, padding="SAME",
+                     dtype=self.dtype, name="p1_conv")(p1)
+        g1 = nn.sigmoid(p1)                                   # [N,T,H,W,1]
+
+        # (3) CE — channel excitation (ref :43-48, 85-96)
+        pooled = jnp.mean(x_shift5, axis=(2, 3))              # [N,T,C]
+        p2 = nn.Dense(reduced, use_bias=False, dtype=self.dtype,
+                      name="p2_squeeze")(pooled)              # [N,T,Cr]
+        p2 = nn.Conv(reduced, (3,), use_bias=False, padding="SAME",
+                     dtype=self.dtype, name="p2_conv1")(p2)   # conv over T
+        p2 = nn.relu(p2)
+        p2 = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                      name="p2_expand")(p2)                   # [N,T,C]
+        g2 = nn.sigmoid(p2)[:, :, None, None, :]              # [N,T,1,1,C]
+
+        # (4) ME — motion excitation (ref :51-58, 98-113); consumes x_shift
+        x_shift_nt = x_shift5.reshape(nt, h, w, c)
+        x3 = nn.Conv(reduced, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="p3_squeeze")(x_shift_nt)           # [NT,H,W,Cr]
+        x3 = nn.BatchNorm(use_running_average=(not train) or self.bn_frozen,
+                          momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                          name="p3_bn1")(x3)
+        x3c = nn.Conv(reduced, (3, 3), use_bias=False, padding="SAME",
+                      feature_group_count=reduced, dtype=self.dtype,
+                      name="p3_conv1")(x3)                    # depthwise
+        x3_5 = x3.reshape(n, t, h, w, reduced)
+        x3c_5 = x3c.reshape(n, t, h, w, reduced)
+        diff = x3c_5[:, 1:] - x3_5[:, :-1]                    # [N,T-1,...]
+        diff = jnp.concatenate(
+            [diff, jnp.zeros_like(diff[:, :1])], axis=1)      # pad last frame
+        p3 = jnp.mean(diff, axis=(2, 3))                      # [N,T,Cr]
+        p3 = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                      name="p3_expand")(p3)
+        g3 = nn.sigmoid(p3)[:, :, None, None, :]              # [N,T,1,1,C]
+
+        # gated sum: each branch is x_shift * g + x_shift  (ref :83,96,113,115)
+        gated = x_shift5 * (g1 + g2 + g3) + 3.0 * x_shift5
+        gated = gated.reshape(nt, h, w, c)
+
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="net")(gated)
+
+
+class TSMConv(nn.Module):
+    """Plain TSM wrapper: zero-pad channel shift then the wrapped 1x1 conv
+    (ref ``temporal_shift.py:119-154``)."""
+
+    features: int
+    n_segment: int
+    shift_div: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ehgr_tpu.ops.temporal_shift import temporal_shift
+
+        nt, h, w, c = x.shape
+        x5 = x.reshape(nt // self.n_segment, self.n_segment, h, w, c)
+        x5 = temporal_shift(x5, self.shift_div)
+        x = x5.reshape(nt, h, w, c)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="net")(x)
