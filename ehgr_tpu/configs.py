@@ -52,7 +52,10 @@ class ModelConfig:
     modal: str = "rgb"                   # rgb | rgb_depth | (+_skeleton/_text for mtmm_sd)
     consensus_type: str = "avg"
     dropout: float = 0.5
-    partial_bn: bool = True              # freeze all BNs but the first (models_MTMM.py:159-175)
+    # partial-BN capability exists (models_MTMM.py:159-175) but the reference
+    # recipes never pass --npb, so the headline runs train ALL BNs
+    # (train_mtmm.py:67,557) — default False matches them.
+    partial_bn: bool = False
     # temporal module injected on conv1 of residual blocks
     is_shift: bool = True
     temporal_module: str = "action"      # 'action' | 'tsm' | 'none'
@@ -74,7 +77,9 @@ class OptimConfig:
     lr_steps: Tuple[int, ...] = (10, 15, 20)   # epochs at which lr *= 0.1
     gamma: float = 0.1
     epochs: int = 25
-    clip_gradient: Optional[float] = 20.0      # --clip-gradient default
+    # --clip_gradient is declared but never applied in the reference
+    # trainers; None matches the actual runs
+    clip_gradient: Optional[float] = None
     ema_decay: float = 0.9999                  # 0.999 for NvGesture (sh/train_nv.sh:5)
 
 

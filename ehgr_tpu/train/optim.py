@@ -1,0 +1,141 @@
+"""SGD with the reference's 9-group lr/decay policy + step-decay schedule.
+
+References:
+* group walk & multipliers — ``models/models_MTMM.py:180-266``
+  (first conv x1, conv biases x2/no-decay, BN no-decay, ACTION ("custom")
+  weights x1, classifier head x5 weight / x10 bias when ``fc_lr5``,
+  frozen BNs excluded under partial-BN),
+* torch-SGD semantics — ``optimizer = optim.SGD(policies, momentum=0.9)``
+  (``train_mtmm.py:578-585``): ``buf = mu*buf + (g + wd*p)``,
+  ``p -= lr_group * buf``,
+* step decay — ``utils.py:39-46``:
+  ``lr = base_lr * 0.1^(#lr_steps passed) * lr_mult`` per epoch.
+
+Implemented as one optax-style GradientTransformation over a label tree
+derived from flax param paths — the JAX equivalent of the reference's
+module-isinstance walk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+# label -> (lr_mult, decay_mult)   (models_MTMM.py:246-266)
+GROUPS: Dict[str, Tuple[float, float]] = {
+    "first_conv_weight": (1.0, 1.0),
+    "first_conv_bias": (2.0, 0.0),
+    "normal_weight": (1.0, 1.0),
+    "normal_bias": (2.0, 0.0),
+    "bn": (1.0, 0.0),
+    "custom_weight": (1.0, 1.0),
+    "custom_bn": (1.0, 0.0),
+    "lr5_weight": (5.0, 1.0),
+    "lr10_bias": (10.0, 0.0),
+    "frozen": (0.0, 0.0),
+}
+
+_ACTION_CHILDREN = ("p1_conv", "p2_squeeze", "p2_conv1", "p2_expand",
+                    "p3_squeeze", "p3_conv1", "p3_expand")
+_HEAD_NAMES = ("new_fc", "middle_fc1", "middle_fc2", "middle_fc3")
+
+
+def label_params(params, fc_lr5: bool = True,
+                 partial_bn: bool = False):
+    """Map each param leaf to a policy group, replicating the reference's
+    ``get_optim_policies`` walk on our flax tree."""
+    flat = flatten_dict(params)
+    labels = {}
+    for path, leaf in flat.items():
+        parts = tuple(path)
+        leafname = parts[-1]
+        mods = parts[:-1]
+        is_stem_bn = mods == ("base_model", "bn1")
+        in_backbone = parts[0] == "base_model"
+        is_bn_mod = mods and ("bn" in mods[-1])
+
+        if leafname == "shift_w" or (
+                mods and mods[-1] in _ACTION_CHILDREN and mods[-1] != "p3_bn1"):
+            labels[path] = "custom_weight"
+        elif mods and mods[-1] == "p3_bn1":
+            labels[path] = "frozen" if partial_bn else "custom_bn"
+        elif is_bn_mod:
+            if partial_bn and not is_stem_bn:
+                labels[path] = "frozen"
+            else:
+                labels[path] = "bn"
+        elif mods == ("base_model", "conv1"):
+            labels[path] = ("first_conv_weight" if leafname == "kernel"
+                            else "first_conv_bias")
+        elif mods and mods[-1] in _HEAD_NAMES:
+            if fc_lr5:
+                labels[path] = ("lr5_weight" if leafname == "kernel"
+                                else "lr10_bias")
+            else:
+                labels[path] = ("normal_weight" if leafname == "kernel"
+                                else "normal_bias")
+        elif leafname == "kernel":
+            labels[path] = "normal_weight"
+        else:
+            labels[path] = "normal_bias"
+    return unflatten_dict(labels)
+
+
+class SgdPoliciesState(NamedTuple):
+    step: jnp.ndarray           # global step counter
+    momentum: Any               # momentum buffer tree
+
+
+def step_decay_factor(epoch: jnp.ndarray, lr_steps: Sequence[int],
+                      gamma: float = 0.1) -> jnp.ndarray:
+    """``gamma ** (#lr_steps passed)`` (utils.py:39-46)."""
+    steps = jnp.asarray(lr_steps)
+    return gamma ** jnp.sum(epoch >= steps)
+
+
+def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
+                 weight_decay: float = 1e-5,
+                 lr_steps: Sequence[int] = (10, 15, 20), gamma: float = 0.1,
+                 steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Build the policy optimizer.  ``labels`` from ``label_params``;
+    the epoch for the decay schedule is derived from the step counter."""
+    mults = jax.tree.map(lambda lab: jnp.asarray(GROUPS[lab][0]), labels)
+    decays = jax.tree.map(lambda lab: jnp.asarray(GROUPS[lab][1]), labels)
+
+    def init(params):
+        return SgdPoliciesState(
+            step=jnp.zeros((), jnp.int32),
+            momentum=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        assert params is not None
+        epoch = state.step // steps_per_epoch
+        factor = step_decay_factor(epoch, lr_steps, gamma)
+
+        new_buf = jax.tree.map(
+            lambda g, p, buf, dm: momentum * buf + g + weight_decay * dm * p,
+            grads, params, state.momentum, decays)
+        updates = jax.tree.map(
+            lambda buf, lm: -(base_lr * lm * factor) * buf, new_buf, mults)
+        return updates, SgdPoliciesState(step=state.step + 1,
+                                         momentum=new_buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(params, cfg_optim, fc_lr5: bool = True,
+                    partial_bn: bool = False, steps_per_epoch: int = 1):
+    """Config -> (optimizer, labels)."""
+    labels = label_params(params, fc_lr5=fc_lr5, partial_bn=partial_bn)
+    tx = sgd_policies(
+        labels, base_lr=cfg_optim.lr, momentum=cfg_optim.momentum,
+        weight_decay=cfg_optim.weight_decay, lr_steps=cfg_optim.lr_steps,
+        gamma=cfg_optim.gamma, steps_per_epoch=steps_per_epoch)
+    if cfg_optim.clip_gradient:
+        tx = optax.chain(optax.clip_by_global_norm(cfg_optim.clip_gradient),
+                         tx)
+    return tx, labels

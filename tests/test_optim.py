@@ -1,0 +1,134 @@
+"""Optimizer-policy tests: label assignment goldens + numerical parity of
+the policy SGD vs torch.optim.SGD with per-group lr/wd, plus the step-decay
+schedule (``models_MTMM.py:180-266``, ``utils.py:39-46``)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+from flax.traverse_util import flatten_dict
+
+from ehgr_tpu.train.optim import (GROUPS, build_optimizer, label_params,
+                                  sgd_policies, step_decay_factor)
+
+
+def tiny_params(rng):
+    def r(*s):
+        return jnp.asarray(rng.standard_normal(s), jnp.float32)
+
+    return {
+        "base_model": {
+            "conv1": {"kernel": r(7, 7, 3, 64)},
+            "bn1": {"scale": r(64), "bias": r(64)},
+            "layer1_0": {
+                "conv1": {
+                    "shift_w": r(3, 64),
+                    "p2_squeeze": {"kernel": r(64, 4)},
+                    "p3_bn1": {"scale": r(4), "bias": r(4)},
+                    "net": {"kernel": r(1, 1, 64, 64)},
+                },
+                "bn1": {"scale": r(64), "bias": r(64)},
+                "conv2": {"kernel": r(3, 3, 64, 64)},
+            },
+        },
+        "global_decoder": {
+            "conv0": {"kernel": r(3, 3, 2048, 256)},
+            "bn0": {"scale": r(256), "bias": r(256)},
+            "conv4": {"kernel": r(1, 1, 32, 1), "bias": r(1)},
+        },
+        "new_fc": {"kernel": r(2048, 83), "bias": r(83)},
+        "middle_fc1": {"kernel": r(2048, 83), "bias": r(83)},
+    }
+
+
+class TestLabels:
+    def test_group_assignment(self, rng):
+        labels = flatten_dict(label_params(tiny_params(rng), fc_lr5=True,
+                                           partial_bn=False))
+        want = {
+            ("base_model", "conv1", "kernel"): "first_conv_weight",
+            ("base_model", "bn1", "scale"): "bn",
+            ("base_model", "layer1_0", "conv1", "shift_w"): "custom_weight",
+            ("base_model", "layer1_0", "conv1", "p2_squeeze", "kernel"):
+                "custom_weight",
+            ("base_model", "layer1_0", "conv1", "p3_bn1", "scale"):
+                "custom_bn",
+            ("base_model", "layer1_0", "conv1", "net", "kernel"):
+                "normal_weight",
+            ("base_model", "layer1_0", "bn1", "bias"): "bn",
+            ("base_model", "layer1_0", "conv2", "kernel"): "normal_weight",
+            ("global_decoder", "conv0", "kernel"): "normal_weight",
+            ("global_decoder", "bn0", "scale"): "bn",
+            ("global_decoder", "conv4", "bias"): "normal_bias",
+            ("new_fc", "kernel"): "lr5_weight",
+            ("new_fc", "bias"): "lr10_bias",
+            ("middle_fc1", "kernel"): "lr5_weight",
+        }
+        for path, lab in want.items():
+            assert labels[path] == lab, (path, labels[path])
+
+    def test_partial_bn_freezes_non_stem(self, rng):
+        labels = flatten_dict(label_params(tiny_params(rng), partial_bn=True))
+        assert labels[("base_model", "bn1", "scale")] == "bn"
+        assert labels[("base_model", "layer1_0", "bn1", "scale")] == "frozen"
+        assert labels[("base_model", "layer1_0", "conv1", "p3_bn1",
+                       "scale")] == "frozen"
+
+
+class TestSgdParity:
+    def test_matches_torch_groups(self, rng):
+        """3 steps of policy-SGD == torch.optim.SGD with equivalent groups."""
+        base_lr, mom, wd = 0.00125, 0.9, 1e-5
+        params = tiny_params(rng)
+        labels = label_params(params)
+        flat_p = flatten_dict(params)
+        flat_l = flatten_dict(labels)
+
+        # torch mirror
+        tparams = {k: torch.nn.Parameter(torch.from_numpy(np.array(v)))
+                   for k, v in flat_p.items()}
+        groups = []
+        for k, p in tparams.items():
+            lm, dm = GROUPS[flat_l[k]]
+            groups.append({"params": [p], "lr": base_lr * lm,
+                           "weight_decay": wd * dm})
+        opt = torch.optim.SGD(groups, momentum=mom)
+
+        tx = sgd_policies(labels, base_lr, mom, wd, lr_steps=(100,),
+                          steps_per_epoch=10)
+        opt_state = tx.init(params)
+
+        g_rng = np.random.default_rng(1)
+        cur = params
+        for _ in range(3):
+            flat_g = {k: g_rng.standard_normal(np.shape(v)).astype(np.float32)
+                      for k, v in flat_p.items()}
+            # jax step
+            from flax.traverse_util import unflatten_dict
+            grads = unflatten_dict(
+                {k: jnp.asarray(v) for k, v in flat_g.items()})
+            updates, opt_state = tx.update(grads, opt_state, cur)
+            import optax
+            cur = optax.apply_updates(cur, updates)
+            # torch step
+            opt.zero_grad()
+            for k, p in tparams.items():
+                p.grad = torch.from_numpy(flat_g[k])
+            opt.step()
+
+        flat_cur = flatten_dict(cur)
+        for k, p in tparams.items():
+            np.testing.assert_allclose(
+                np.asarray(flat_cur[k]), p.detach().numpy(),
+                rtol=1e-5, atol=1e-6, err_msg=str(k))
+
+
+class TestSchedule:
+    def test_step_decay(self):
+        f = lambda e: float(step_decay_factor(jnp.asarray(e), (10, 15, 20)))
+        assert f(0) == 1.0
+        assert f(9) == 1.0
+        np.testing.assert_allclose(f(10), 0.1)
+        np.testing.assert_allclose(f(15), 0.01, rtol=1e-6)
+        np.testing.assert_allclose(f(24), 0.001, rtol=1e-6)
