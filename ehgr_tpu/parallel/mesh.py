@@ -73,6 +73,7 @@ def param_shardings(variables, mesh: Mesh, model_parallel: bool = False):
     repl = replicated(mesh)
     head = head_sharding(mesh)
     bias_head = NamedSharding(mesh, P(MODEL_AXIS))
+    mp = mesh.shape[MODEL_AXIS]
 
     def assign(path, leaf):
         if not model_parallel:
@@ -80,9 +81,9 @@ def param_shardings(variables, mesh: Mesh, model_parallel: bool = False):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         if any(n in ("new_fc", "middle_fc1", "middle_fc2", "middle_fc3")
                for n in names):
-            if np.ndim(leaf) == 2:
-                return head
-            return bias_head
+            # shard the class dim only when it divides the model axis
+            if np.shape(leaf)[-1] % mp == 0:
+                return head if np.ndim(leaf) == 2 else bias_head
         return repl
 
     return jax.tree_util.tree_map_with_path(assign, variables)
