@@ -1,0 +1,94 @@
+"""Test-protocol runners — the ``test.py`` / ``test_sd.py`` verbs.
+
+Replicates the reference evaluation (``test.py:117-166``, ``test_sd.py``):
+multi-clip voting, top-1/5, confusion matrices (per exit for SD models).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ehgr_tpu.configs import Config
+from ehgr_tpu.data.factory import build_test_dataset
+from ehgr_tpu.data.pipeline import Loader
+from ehgr_tpu.eval.metrics import ConfusionMatrix, topk_correct
+from ehgr_tpu.models.tsn import variant
+from ehgr_tpu.ops.preprocess_device import normalize_clip
+from ehgr_tpu.train.checkpoints import load_for_model
+
+
+def _build_model(cfg: Config, arch: str):
+    model = variant(arch, num_class=cfg.model.num_classes,
+                    num_segments=cfg.model.num_segments,
+                    base_model=cfg.model.base_model,
+                    temporal=(cfg.model.temporal_module
+                              if cfg.model.is_shift else "none"),
+                    shift_div=cfg.model.shift_div,
+                    dropout=cfg.model.dropout,
+                    partial_bn=cfg.model.partial_bn,
+                    dtype=jnp.dtype(cfg.model.dtype))
+    x0 = jnp.zeros((1, cfg.model.num_segments, cfg.data.crop_size,
+                    cfg.data.crop_size, 3), jnp.float32)
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = init_fn({"params": jax.random.key(0)}, x0)
+    if cfg.run.checkpoint_path:
+        variables = load_for_model(cfg.run.checkpoint_path, variables)
+    return model, variables
+
+
+def run_test(cfg: Config, arch: str = "tsn",
+             heads: int = 1) -> Dict[str, float]:
+    """Evaluate ``arch`` with the multi-clip protocol.  ``heads=4`` scores
+    the SD model's final + three exits (``test_sd.py`` behavior)."""
+    log = logging.getLogger(__name__)
+    model, variables = _build_model(cfg, arch)
+    dataset = build_test_dataset(cfg)
+    loader = Loader(dataset, batch_size=max(1, 8 // cfg.data.clip_num or 1),
+                    shuffle=False, num_workers=cfg.data.num_workers,
+                    drop_last=False)
+
+    mean, std = cfg.data.mean, cfg.data.std
+
+    @jax.jit
+    def score(frames_u8):
+        v, k, t = frames_u8.shape[:3]
+        x = normalize_clip(frames_u8, mean, std,
+                           dtype=jnp.dtype(cfg.model.dtype))
+        x = x.reshape((v * k, t) + x.shape[3:])
+        out = model.apply(variables, x, train=False)
+        outs = out if isinstance(out, tuple) else (out,)
+        probs = []
+        for lg in outs[:heads]:
+            p = jax.nn.softmax(lg, axis=-1)
+            probs.append(jnp.mean(p.reshape(v, k, -1), axis=1))
+        return tuple(probs)
+
+    names = ["final"] + [f"mid{i}" for i in range(1, heads)]
+    cms = {n: ConfusionMatrix(cfg.model.num_classes) for n in names}
+    correct = {n: {1: 0, 5: 0} for n in names}
+    total = 0
+    for batch in loader:
+        probs = score(jnp.asarray(batch["rgb"]))
+        labels = jnp.asarray(batch["label"])
+        total += int(labels.shape[0])
+        for n, p in zip(names, probs):
+            c1, c5 = topk_correct(p, labels, (1, 5))
+            correct[n][1] += int(c1)
+            correct[n][5] += int(c5)
+            cms[n].update(np.asarray(jnp.argmax(p, axis=-1)),
+                          np.asarray(batch["label"]))
+
+    results: Dict[str, float] = {"n_videos": total}
+    for n in names:
+        results[f"{n}_top1"] = 100.0 * correct[n][1] / max(total, 1)
+        results[f"{n}_top5"] = 100.0 * correct[n][5] / max(total, 1)
+    log.info("test results: %s", results)
+    results["confusion"] = cms  # type: ignore[assignment]
+    return results

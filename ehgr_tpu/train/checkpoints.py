@@ -66,9 +66,18 @@ def load_for_model(path: str, variables: Dict, strict: bool = False) -> Dict:
     """Load weights from either an orbax dir or a torch .pth(.tar) file into
     an initialized variable tree (non-strict by default)."""
     if os.path.isdir(path):
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, variables)
-        return restored
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path)
+        # full TrainState checkpoints: pull the variable collections out
+        if "params" in restored and "step" in restored:
+            src = {"params": restored["params"],
+                   "batch_stats": restored.get("batch_stats", {})}
+        else:
+            src = restored
+        merged, skipped = merge_variables(dict(variables), src)
+        if strict and skipped:
+            raise KeyError(f"checkpoint paths not absorbed: {skipped[:10]}")
+        return merged
     from ehgr_tpu.models.torch_import import load_torch_checkpoint
 
     new_vars, missing = load_torch_checkpoint(path, variables, strict=strict)

@@ -20,6 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: repeat suite runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/ehgr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,95 @@
+"""End-to-end pipeline tests on the synthetic backend: the two-stage recipe
+(MTMM -> SD via checkpoint transfer) and the test protocol — SURVEY.md §7
+step 4's "minimum end-to-end slice" plus checkpoint round-trips."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from ehgr_tpu.configs import Config, DataConfig, ModelConfig, OptimConfig, RunConfig
+from ehgr_tpu.data.factory import build_test_dataset, build_train_datasets
+from ehgr_tpu.train.loop import run_training
+
+CLS, T, HW = 5, 4, 32
+
+
+def tiny_cfg(tmp, arch, **run_kw):
+    return Config(
+        data=DataConfig(dataset="synthetic", backend="synthetic",
+                        clip_len=T, batch_size=4, num_classes=CLS,
+                        crop_size=HW, scale_size=HW, clip_num=3,
+                        num_workers=2),
+        model=ModelConfig(arch=arch, num_segments=T, num_classes=CLS,
+                          partial_bn=False),
+        optim=OptimConfig(lr=0.002, epochs=1, lr_steps=(100,),
+                          ema_decay=0.9),
+        run=RunConfig(run_dir=str(tmp), model_name="tiny", display=2,
+                      **run_kw),
+    ).validate()
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_mtmm_then_sd_transfer(self, tmp_path):
+        # Stage 1: MTMM
+        cfg1 = tiny_cfg(tmp_path, "tsn_mtmm")
+        ds = build_train_datasets(cfg1, "mtmm")
+        res1 = run_training(cfg1, "mtmm", *ds, max_steps_per_epoch=3)
+        assert np.isfinite(res1["final_train_loss"])
+        best = os.path.join(res1["run_dir"], "tiny_best_ckpt")
+        assert os.path.isdir(best)
+
+        # Stage 2: SD init'd non-strict from the MTMM checkpoint
+        cfg2 = tiny_cfg(tmp_path, "tsn_sd", checkpoint_path=best)
+        ds2 = build_train_datasets(cfg2, "sd")
+        res2 = run_training(cfg2, "sd", *ds2, max_steps_per_epoch=3)
+        assert np.isfinite(res2["final_train_loss"])
+        assert "mid1_top1" in res2
+
+    def test_test_protocol_runs(self, tmp_path):
+        from ehgr_tpu.eval.runner import run_test
+
+        cfg = tiny_cfg(tmp_path, "tsn")
+        res = run_test(cfg, arch="tsn", heads=1)
+        assert res["n_videos"] == 32
+        assert 0.0 <= res["final_top1"] <= 100.0
+        cm = res["confusion"]["final"]
+        assert cm.m.sum() == 32
+
+
+class TestCheckpointRoundtrip:
+    def test_state_roundtrip(self, tmp_path, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ehgr_tpu.models.tsn import variant
+        from ehgr_tpu.train.checkpoints import CheckpointManager
+        from ehgr_tpu.train.optim import build_optimizer
+        from ehgr_tpu.train.steps import create_train_state
+
+        model = variant("tsn", num_class=CLS, num_segments=T,
+                        partial_bn=False)
+        x = jnp.zeros((1, T, HW, HW, 3), jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        tx, _ = build_optimizer(variables["params"], OptimConfig(),
+                                steps_per_epoch=5)
+        state = create_train_state(variables, tx)
+
+        mgr = CheckpointManager(str(tmp_path), "rt")
+        mgr.save("latest", jax.device_get(state))
+        restored = mgr.restore("latest", jax.device_get(state))
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_merge_variables_nonstrict(self):
+        from ehgr_tpu.train.checkpoints import merge_variables
+
+        dst = {"params": {"a": np.zeros(3), "b": np.zeros(2)}}
+        src = {"params": {"a": np.ones(3), "c": np.ones(4)}}
+        merged, skipped = merge_variables(dst, src)
+        np.testing.assert_array_equal(merged["params"]["a"], 1)
+        np.testing.assert_array_equal(merged["params"]["b"], 0)
+        assert skipped == [("params", "c")]
