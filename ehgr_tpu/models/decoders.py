@@ -56,6 +56,52 @@ class GlobalDepthDecoder(nn.Module):
         return nn.sigmoid(x)
 
 
+class TransposedDecoder(nn.Module):
+    """ConvTranspose(k4,s2,p1) + BN stack ending in sigmoid — the MTMM+SD
+    decoder family (``models_MTMM_SD.py:227-266``).  ``widths`` are the
+    intermediate channel counts; ``out_features`` the final channels
+    (1 = depth, 42 = skeleton heatmaps).  Each stage doubles the spatial
+    size; no ReLUs (matching the reference exactly)."""
+
+    widths: Sequence[int]          # e.g. (256, 32) global / (32,) local
+    out_features: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i, w in enumerate(self.widths):
+            x = nn.ConvTranspose(w, (4, 4), strides=(2, 2),
+                                 padding="SAME", use_bias=True,
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name=f"ct{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"ctbn{i}")(x)
+        x = nn.ConvTranspose(self.out_features, (4, 4), strides=(2, 2),
+                             padding="SAME", use_bias=True,
+                             transpose_kernel=True, dtype=self.dtype,
+                             name=f"ct{len(self.widths)}")(x)
+        return nn.sigmoid(x)
+
+
+class TextEncoder(nn.Module):
+    """Clip-level text-embedding head: Conv1d(2048 -> 512, kernel=T) + BN
+    over pooled per-frame features (``models_MTMM_SD.py:268-272``).
+    Input ``[N, T, 2048]`` -> ``[N, 512]``."""
+
+    features: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        t = x.shape[1]
+        x = nn.Conv(self.features, (t,), padding="VALID", use_bias=True,
+                    dtype=self.dtype, name="conv")(x)       # [N, 1, 512]
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return x[:, 0, :]
+
+
 class SepConv(nn.Module):
     """Depthwise-separable double conv: (dw k3 s2 + pw) + BN + ReLU +
     (dw k3 s1 + pw to ``features``) + BN + ReLU (ref models_SD.py:81-101)."""

@@ -73,10 +73,20 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
             out.extend(["downsample", "1"])
         elif p in _ACTION_CHILD:
             out.append(_ACTION_CHILD[p])
-        elif p == "global_decoder":
-            out.append("global_decoder")
+        elif p in ("global_decoder", "local_decoder", "local_skel_decoder",
+                   "global_skel_decoder"):
+            out.append(p)
             nxt = parts[i + 1]
-            out.append(_DECODER_SEQ[nxt])
+            if nxt.startswith("ctbn"):      # transposed style (MTMM+SD)
+                out.append(str(2 * int(nxt[4:]) + 1))
+            elif nxt.startswith("ct"):
+                out.append(str(2 * int(nxt[2:])))
+            else:                           # conv+upsample style (MTMM)
+                out.append(_DECODER_SEQ[nxt])
+            i += 1
+        elif p == "text_encoder":
+            out.append("text_encoder")
+            out.append("0" if parts[i + 1] == "conv" else "1")
             i += 1
         elif p.startswith("scala"):
             out.append(p)  # scala1

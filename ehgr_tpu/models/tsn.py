@@ -30,7 +30,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ehgr_tpu.models.decoders import GlobalDepthDecoder, Scala
+from ehgr_tpu.models.decoders import (GlobalDepthDecoder, Scala, TextEncoder,
+                                      TransposedDecoder)
 from ehgr_tpu.models.resnet import build_backbone
 from ehgr_tpu.ops.consensus import consensus
 
@@ -54,8 +55,11 @@ class TSN(nn.Module):
     consensus_type: str = "avg"
     dropout: float = 0.5
     partial_bn: bool = True
-    with_depth: bool = False            # MTMM global depth decoder
+    with_depth: bool = False            # MTMM global depth decoder (stage 1)
     with_sd: bool = False               # SD early exits
+    # joint-stage modal surface (models_MTMM_SD.py:424-532): any of the 8
+    # combinations of rgb / depth / skeleton / text; only used with with_sd
+    modal: str = "rgb"
     truncate_at: int = 0                # 0 = full; 1/2/3 = TSN_MiddleK
     dtype: Any = jnp.float32
 
@@ -119,14 +123,41 @@ class TSN(nn.Module):
                   f32(outs["mid3"]), f32(outs["final_fea"]),
                   f32(outs["mid1_fea"]), f32(outs["mid2_fea"]),
                   f32(outs["mid3_fea"]))
-            return sd + (outs["depth"],) if self.with_depth else sd
+            # joint-stage modal heads, reference output order
+            # (models_MTMM_SD.py:517-532): depth -> skeleton -> text
+            extras = ()
+            if "depth" in self.modal:
+                local = TransposedDecoder((32,), 1, dtype=self.dtype,
+                                          name="local_decoder")(
+                    taps["stem"], train=train)
+                glob = TransposedDecoder((256, 32), 1, dtype=self.dtype,
+                                         name="global_decoder")(
+                    taps["layer4"], train=train)
+                extras += (f32(local), f32(glob))
+            if "skeleton" in self.modal:
+                lsk = TransposedDecoder((64,), 42, dtype=self.dtype,
+                                        name="local_skel_decoder")(
+                    taps["stem"], train=train)
+                gsk = TransposedDecoder((256, 64), 42, dtype=self.dtype,
+                                        name="global_skel_decoder")(
+                    taps["layer4"], train=train)
+                extras += (f32(lsk), f32(gsk))
+            if "text" in self.modal:
+                pooled = feat.reshape(-1, self.num_segments, feat.shape[-1])
+                txt = TextEncoder(dtype=self.dtype, name="text_encoder")(
+                    pooled, train=train)
+                extras += (f32(txt),)
+            if self.with_depth:   # legacy single-depth union (upsample dec)
+                extras += (outs["depth"],)
+            return sd + extras if extras else sd
         return f32(output), outs["depth"]
 
 
 def variant(arch: str, num_class: int, num_segments: int,
             base_model: str = "resnet50", temporal: str = "action",
             shift_div: int = 8, dropout: float = 0.5,
-            partial_bn: bool = True, dtype: Any = jnp.float32) -> TSN:
+            partial_bn: bool = True, modal: str = "rgb_depth",
+            dtype: Any = jnp.float32) -> TSN:
     """Factory mapping the reference's model files to TSN flags."""
     kw = dict(num_class=num_class, num_segments=num_segments,
               base_model=base_model, temporal=temporal, shift_div=shift_div,
@@ -138,7 +169,7 @@ def variant(arch: str, num_class: int, num_segments: int,
     if arch == "tsn_sd":
         return TSN(with_sd=True, **kw)
     if arch == "tsn_mtmm_sd":
-        return TSN(with_sd=True, with_depth=True, **kw)
+        return TSN(with_sd=True, modal=modal, **kw)
     if arch.startswith("tsn_middle"):
         return TSN(truncate_at=int(arch[-1]), **kw)
     raise ValueError(f"unknown arch: {arch}")

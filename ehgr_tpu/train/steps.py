@@ -91,7 +91,11 @@ def make_train_step(model, tx, *, stage: str, loss_cfg, ema_decay: float,
                 alpha=loss_cfg.alpha, beta=loss_cfg.beta,
                 temperature=loss_cfg.temperature)
         elif stage == "mtmm_sd":
-            logits, m1, m2, m3, ffea, f1, f2, f3, depth_pred = out
+            # modal 'rgb_depth' output order (models_MTMM_SD.py:519-521):
+            # 8 SD outputs + local depth + GLOBAL depth; only the global
+            # depth is supervised (train_mtmm_sd.py:252-259)
+            logits, m1, m2, m3, ffea, f1, f2, f3 = out[:8]
+            depth_pred = out[9]
             depth_gt = depth_to_target(batch["depth"], loss_cfg.depth_size)
             depth_gt = depth_gt.reshape((-1,) + depth_gt.shape[2:])
             total, aux = losses.mtmm_sd_total(

@@ -56,10 +56,25 @@ class TestVariants:
         for f in (ffea, f1, f2, f3):
             assert f.shape == (N * T, 2048)
 
-    def test_tsn_mtmm_sd_nine_tuple(self):
+    def test_tsn_mtmm_sd_rgb_depth(self):
+        """modal 'rgb_depth': 8 SD outputs + local (stem x4 = input res) +
+        global (layer4 x8) transposed-decoder depths
+        (models_MTMM_SD.py:519-521)."""
         out, _ = init_and_run(tiny("tsn_mtmm_sd"))
-        assert len(out) == 9
-        assert out[8].shape == (N * T, 16, 16, 1)
+        assert len(out) == 10
+        assert out[8].shape == (N * T, HW, HW, 1)           # local depth
+        assert out[9].shape == (N * T, 16, 16, 1)  # global: layer4(2) x8
+
+    def test_tsn_mtmm_sd_full_modal(self):
+        """modal 'rgb_depth_skeleton_text': + 42-ch skeleton maps + text
+        embedding (models_MTMM_SD.py:531-532)."""
+        model = variant("tsn_mtmm_sd", num_class=CLS, num_segments=T,
+                        temporal="action", modal="rgb_depth_skeleton_text")
+        out, _ = init_and_run(model)
+        assert len(out) == 13
+        assert out[10].shape == (N * T, HW, HW, 42)         # local skel
+        assert out[11].shape == (N * T, 16, 16, 42)         # global skel
+        assert out[12].shape == (N, 512)                    # text
 
     @pytest.mark.parametrize("k", [1, 2, 3])
     def test_middle_deploy_matches_sd_exit(self, k):
@@ -182,6 +197,21 @@ class TestTorchImport:
                 "scala3.0.op.6.running_var",
             ("params", "middle_fc2", "kernel"): "middle_fc2.weight",
             ("params", "new_fc", "bias"): "new_fc.bias",
+            # transposed (MTMM+SD) decoder family, models_MTMM_SD.py:227-266
+            ("params", "local_decoder", "ct0", "kernel"):
+                "local_decoder.0.weight",
+            ("params", "local_decoder", "ctbn0", "scale"):
+                "local_decoder.1.weight",
+            ("params", "global_decoder", "ct2", "bias"):
+                "global_decoder.4.bias",
+            ("params", "global_decoder", "ctbn1", "scale"):
+                "global_decoder.3.weight",
+            ("batch_stats", "global_skel_decoder", "ctbn0", "var"):
+                "global_skel_decoder.1.running_var",
+            ("params", "text_encoder", "conv", "bias"):
+                "text_encoder.0.bias",
+            ("params", "text_encoder", "bn", "scale"):
+                "text_encoder.1.weight",
         }
         for path, want in cases.items():
             assert _flax_path_to_torch_key(path[1:]) == want, path
