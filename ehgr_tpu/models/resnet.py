@@ -134,12 +134,4 @@ class ResNetBackbone(nn.Module):
         return taps
 
 
-def build_backbone(base_model: str, temporal: str, n_segment: int,
-                   shift_div: int, partial_bn: bool,
-                   dtype: jnp.dtype) -> ResNetBackbone:
-    if base_model not in STAGE_SIZES:
-        raise ValueError(f"unknown resnet variant: {base_model}")
-    return ResNetBackbone(
-        stage_sizes=STAGE_SIZES[base_model], temporal=temporal,
-        n_segment=n_segment, shift_div=shift_div, partial_bn=partial_bn,
-        dtype=dtype, name="base_model")
+# (backbone construction lives in ehgr_tpu.models.backbones.get_backbone)

@@ -54,6 +54,12 @@ _DECODER_SEQ = {"conv0": "0", "bn0": "1", "conv1": "4", "bn1": "5",
 # SepConv op indices (models_SD.py:84-97)
 _SEPCONV_SEQ = {"dw1": "0", "pw1": "1", "bn1": "2", "dw2": "4", "pw2": "5",
                 "bn2": "6"}
+# BNInception branch names (archs/bn_inception.py Caffe-flat keys)
+_BNI_BRANCH = {"b1x1": "1x1", "b3x3_reduce": "3x3_reduce", "b3x3": "3x3",
+               "bd3x3_reduce": "double_3x3_reduce", "bd3x3_1": "double_3x3_1",
+               "bd3x3_2": "double_3x3_2", "bpool_proj": "pool_proj"}
+_BNI_STEM = {"conv1": "conv1_7x7_s2", "conv2_reduce": "conv2_3x3_reduce",
+             "conv2": "conv2_3x3"}
 
 
 def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
@@ -64,7 +70,24 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     i = 0
     while i < len(parts):
         p = parts[i]
-        if p.startswith("layer") and "_" in p:
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if p.startswith("inception_") and nxt in _BNI_BRANCH:
+            # Caffe-flat BNInception keys: inception_3a_1x1[_bn].*
+            layer = parts[i + 2]  # 'conv' | 'bn'
+            out.append(f"{p}_{_BNI_BRANCH[nxt]}" +
+                       ("_bn" if layer == "bn" else ""))
+            i += 2
+        elif p in _BNI_STEM and nxt in ("conv", "bn"):
+            out.append(_BNI_STEM[p] + ("_bn" if nxt == "bn" else ""))
+            i += 1
+        elif p.startswith("features_"):
+            # MobileNetV2: features.{i}[.conv].{j} (archs/mobilenet_v2.py)
+            out.extend(["features", p[9:]])
+        elif p.startswith("conv_") and "features" in out:
+            out.extend(["conv", p[5:]])
+        elif p in ("c0", "c1") and "features" in out:
+            out.append(p[1:])
+        elif p.startswith("layer") and "_" in p:
             stage, block = p[5:].split("_")
             out.extend([f"layer{stage}", block])
         elif p == "downsample_conv":

@@ -30,9 +30,9 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.backbones import get_backbone, supports_taps
 from ehgr_tpu.models.decoders import (GlobalDepthDecoder, Scala, TextEncoder,
                                       TransposedDecoder)
-from ehgr_tpu.models.resnet import build_backbone
 from ehgr_tpu.ops.consensus import consensus
 
 _SCALA_WIDTHS = {1: (512, 1024, 2048), 2: (1024, 2048), 3: (2048,)}
@@ -73,7 +73,12 @@ class TSN(nn.Module):
         assert t == self.num_segments, (t, self.num_segments)
         x = x.reshape((n * t,) + x.shape[2:]).astype(self.dtype)
 
-        backbone = build_backbone(
+        if (self.with_sd or self.with_depth or self.truncate_at) and \
+                not supports_taps(self.base_model):
+            raise ValueError(
+                f"{self.base_model} supports only the plain TSN surface "
+                "(MTMM/SD need resnet-family layer taps, as in the reference)")
+        backbone = get_backbone(
             self.base_model, temporal=self.temporal,
             n_segment=self.num_segments, shift_div=self.shift_div,
             partial_bn=self.partial_bn, dtype=self.dtype)

@@ -104,8 +104,23 @@ class ActionConv(nn.Module):
         gated = x_shift5 * (g1 + g2 + g3) + 3.0 * x_shift5
         gated = gated.reshape(nt, h, w, c)
 
+        if self.features == 0:     # gate-only mode (ActionGate)
+            return gated
         return nn.Conv(self.features, (1, 1), use_bias=False,
                        dtype=self.dtype, name="net")(gated)
+
+
+def ActionGate(n_segment: int, shift_div: int = 8, bn_frozen: bool = False,
+               dtype=jnp.float32, name: str = None) -> "ActionConv":
+    """ACTION gating WITHOUT a wrapped conv (channel-preserving gated sum).
+
+    Used at BNInception block entries where the reference's 10
+    ``shift_2..shift_5a`` wrappers sit (``archs/bn_inception_action.py:
+    154-167``) — its own temporal-forward wiring is dead code (pdb landmines
+    at :227-242), so this is the sane block-input formulation of the same
+    capability."""
+    return ActionConv(features=0, n_segment=n_segment, shift_div=shift_div,
+                      bn_frozen=bn_frozen, dtype=dtype, name=name)
 
 
 class TSMConv(nn.Module):
