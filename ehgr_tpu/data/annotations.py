@@ -112,6 +112,29 @@ def construct_annot_nv(dataset_path: str, save_path: str, mode: str) -> str:
     return out
 
 
+def subset_annot(annot_path: str, mode: str, classes: Sequence[int],
+                 save_as: str, remap_labels: bool = False) -> str:
+    """Filter a split pickle to a class subset — the offline prep behind the
+    reference's ``train_plus_val_10cls`` / ``test_10cls`` splits
+    (``train_sd.py:572-594``).  Writes ``<annot_path>/<save_as>.pkl``."""
+    df = pd.read_pickle(os.path.join(annot_path, f"{mode}.pkl"))
+    keep = df["label"].isin(list(classes))
+    out = df[keep].reset_index(drop=True)
+    if remap_labels:
+        mapping = {c: i for i, c in enumerate(sorted(classes))}
+        out = out.assign(label=[mapping[int(l)] for l in out["label"]])
+    path = os.path.join(annot_path, f"{save_as}.pkl")
+    out.to_pickle(path)
+    return path
+
+
+def make_10cls_splits(annot_path: str, classes: Sequence[int] = tuple(range(10))):
+    """Create the 10-class EgoGesture study splits the SD trainer consumes."""
+    return (subset_annot(annot_path, "train_plus_val", classes,
+                         "train_plus_val_10cls"),
+            subset_annot(annot_path, "test", classes, "test_10cls"))
+
+
 def load_annotations(annot_path: str, mode: str) -> pd.DataFrame:
     """Read ``<annot_path>/<mode>.pkl`` (the reference ``load_video*``
     contract, ``dataset_EgoGesture.py:100-138``)."""

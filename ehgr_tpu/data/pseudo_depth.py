@@ -1,0 +1,65 @@
+"""Pseudo-depth generation (L0 offline prep).
+
+Reference: ``/root/reference/preprocess/generate_pseudo_depth_{ego,nv}.py``
+— runs MiDaS DPT_Large over every RGB frame and writes a parallel
+``Depth_Est`` JPEG tree.
+
+This environment has no torchvision/network access, so the MiDaS path is
+gated: pass ``predictor=`` any callable ``uint8 [H,W,3] -> float [H,W]``
+(e.g. a JAX DPT you load yourself) to use a real model.  The built-in
+``'gray'`` backend writes luminance-based placeholders so the full
+``depth_est`` pipeline (annotations -> MTMM ``rgb_depthest`` training) is
+runnable end-to-end without external weights.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+from PIL import Image
+
+
+def _gray_predictor(frame: np.ndarray) -> np.ndarray:
+    """Luminance placeholder (NOT a depth estimate — pipeline plumbing only)."""
+    f = frame.astype(np.float32)
+    return (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]) / 255.0
+
+
+def generate_pseudo_depth_tree(
+        rgb_root: str, out_root: str,
+        predictor: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        rgb_dirname: str = "Color", out_dirname: str = "Depth_Est",
+        rgb_prefix: str = "rgb", out_prefix: str = "depth_est") -> int:
+    """Mirror an EgoGesture-style ``.../Color/rgb{g}/*.jpg`` tree into
+    ``.../Depth_Est/depth_est{g}/*.jpg`` (ref
+    ``preprocess/generate_pseudo_depth_ego.py:15-59``).  Returns the number
+    of frames written."""
+    if predictor is None:
+        predictor = _gray_predictor
+    n = 0
+    for dirpath, _, files in os.walk(rgb_root):
+        jpgs = sorted(f for f in files if f.endswith(".jpg"))
+        if not jpgs or rgb_dirname not in dirpath:
+            continue
+        out_dir = dirpath.replace(rgb_dirname, out_dirname).replace(
+            rgb_prefix, out_prefix)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in jpgs:
+            frame = np.asarray(Image.open(os.path.join(dirpath, f))
+                               .convert("RGB"))
+            depth = np.clip(predictor(frame), 0.0, 1.0)
+            Image.fromarray((depth * 255).astype(np.uint8), "L").save(
+                os.path.join(out_dir, f))
+            n += 1
+    return n
+
+
+def midas_predictor():
+    """Hook for a real MiDaS/DPT model.  Not available in this image
+    (no torchvision / network egress) — raises with instructions."""
+    raise RuntimeError(
+        "MiDaS DPT_Large is not bundled (no network egress). Provide "
+        "generate_pseudo_depth_tree(..., predictor=<your uint8[H,W,3] -> "
+        "float[H,W] model>) — any monocular depth estimator works.")

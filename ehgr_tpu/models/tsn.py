@@ -68,7 +68,8 @@ class TSN(nn.Module):
         return consensus(x, self.consensus_type)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_taps: bool = False):
         n, t = x.shape[0], x.shape[1]
         assert t == self.num_segments, (t, self.num_segments)
         x = x.reshape((n * t,) + x.shape[2:]).astype(self.dtype)
@@ -104,8 +105,8 @@ class TSN(nn.Module):
                 outs[f"mid{k}"] = self._consensus(logits)
 
         if self.truncate_at:
-            out = outs[f"mid{self.truncate_at}"]
-            return out.astype(jnp.float32)
+            out = outs[f"mid{self.truncate_at}"].astype(jnp.float32)
+            return (out, taps) if return_taps else out
 
         feat = taps["pool"]                                   # [NT, 2048]
         outs["final_fea"] = feat
@@ -120,7 +121,8 @@ class TSN(nn.Module):
             outs["depth"] = depth.astype(jnp.float32)
 
         if not self.with_sd and not self.with_depth:
-            return output.astype(jnp.float32)
+            out = output.astype(jnp.float32)
+            return (out, taps) if return_taps else out
 
         f32 = lambda v: v.astype(jnp.float32)
         if self.with_sd:
@@ -154,8 +156,10 @@ class TSN(nn.Module):
                 extras += (f32(txt),)
             if self.with_depth:   # legacy single-depth union (upsample dec)
                 extras += (outs["depth"],)
-            return sd + extras if extras else sd
-        return f32(output), outs["depth"]
+            out = sd + extras if extras else sd
+            return (out, taps) if return_taps else out
+        out = (f32(output), outs["depth"])
+        return (out, taps) if return_taps else out
 
 
 def variant(arch: str, num_class: int, num_segments: int,
