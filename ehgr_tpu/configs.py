@@ -81,6 +81,9 @@ class OptimConfig:
     # trainers; None matches the actual runs
     clip_gradient: Optional[float] = None
     ema_decay: float = 0.9999                  # 0.999 for NvGesture (sh/train_nv.sh:5)
+    # False = single param group (train_slowonly.py's plain SGD); True = the
+    # 9-group lr/decay policy walk (models_MTMM.py:180-266)
+    policies: bool = True
 
 
 @dataclass(frozen=True)
@@ -136,7 +139,7 @@ class Config:
         assert self.model.arch in (
             "tsn", "tsn_mtmm", "tsn_sd", "tsn_mtmm_sd",
             "tsn_middle1", "tsn_middle2", "tsn_middle3",
-            "r2plus1d", "slowonly")
+            "r2plus1d", "r2plus1d_mtmm", "slowonly", "videomae")
         return self
 
 

@@ -1,0 +1,32 @@
+"""Model factory: Config -> model instance for every family (the dispatch
+the reference spreads across trainer scripts)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ehgr_tpu.configs import ModelConfig
+from ehgr_tpu.models.tsn import variant
+from ehgr_tpu.models.video3d import R2Plus1D18, SlowOnlyR50
+
+
+def build_model(m: ModelConfig):
+    dtype = jnp.dtype(m.dtype)
+    if m.arch == "slowonly":
+        return SlowOnlyR50(num_class=m.num_classes, dropout=m.dropout,
+                           dtype=dtype)
+    if m.arch == "r2plus1d":
+        return R2Plus1D18(num_class=m.num_classes, dropout=m.dropout,
+                          dtype=dtype)
+    if m.arch == "r2plus1d_mtmm":
+        return R2Plus1D18(num_class=m.num_classes, dropout=m.dropout,
+                          with_depth=True, dtype=dtype)
+    if m.arch == "videomae":
+        from ehgr_tpu.models.videomae import VideoMAE
+        return VideoMAE(num_class=m.num_classes, dropout=m.dropout,
+                        dtype=dtype)
+    return variant(m.arch, num_class=m.num_classes,
+                   num_segments=m.num_segments, base_model=m.base_model,
+                   temporal=(m.temporal_module if m.is_shift else "none"),
+                   shift_div=m.shift_div, dropout=m.dropout,
+                   partial_bn=m.partial_bn, modal=m.modal, dtype=dtype)

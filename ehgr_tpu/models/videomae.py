@@ -1,0 +1,167 @@
+"""VideoMAE-Base video classifier (flax) — the transformer family.
+
+Reference: ``/root/reference/train_videomae.py`` fine-tunes HuggingFace
+``VideoMAEForVideoClassification`` ("MCG-NJU/videomae-base") on 16-frame
+clips.  This is the same architecture TPU-native: tubelet (2x16x16) embedding
+-> joint space-time ViT-B/16 encoder (12 layers, 768 dim, 12 heads, fixed
+sin-cos position embeddings) -> mean-pool + LayerNorm head, jitted end to
+end (attention over the 1568-token sequence is one fused MXU-friendly
+einsum stack; no HF/torch in the loop).
+
+``convert_hf_videomae`` maps an HF ``VideoMAEForVideoClassification``
+state_dict onto this param tree for checkpoint-initialized fine-tuning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sincos_pos_embed(n_pos: int, dim: int) -> np.ndarray:
+    """Fixed sinusoidal table (VideoMAE uses non-learned position embeds)."""
+    pos = np.arange(n_pos)[:, None]
+    omega = 1.0 / (10000 ** (2 * (np.arange(dim)[None, :] // 2) / dim))
+    table = pos * omega
+    table[:, 0::2] = np.sin(table[:, 0::2])
+    table[:, 1::2] = np.cos(table[:, 1::2])
+    return table.astype(np.float32)
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d_head = self.dim // self.heads
+        # VideoMAE quirk: q and v have biases, k does not
+        q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="v")(x)
+        n, s, _ = x.shape
+        shp = (n, s, self.heads, d_head)
+        q, k, v = (t.reshape(shp) for t in (q, k, v))
+        att = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d_head, self.dtype))
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", att, v).reshape(n, s, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype,
+                          name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class VideoMAE(nn.Module):
+    """VideoMAE-Base classification model. Input ``[N, T, H, W, 3]``
+    normalized frames, T even (tubelet 2)."""
+
+    num_class: int
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    tubelet: int = 2
+    patch: int = 16
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        n, t, h, w, _ = x.shape
+        x = nn.Conv(self.dim, (self.tubelet, self.patch, self.patch),
+                    strides=(self.tubelet, self.patch, self.patch),
+                    padding="VALID", dtype=self.dtype,
+                    name="patch_embed")(x)
+        seq = x.reshape(n, -1, self.dim)
+        pos = sincos_pos_embed(seq.shape[1], self.dim)
+        seq = seq + jnp.asarray(pos, self.dtype)[None]
+
+        for i in range(self.depth):
+            seq = Block(self.dim, self.heads, dtype=self.dtype,
+                        name=f"block{i}")(seq)
+        pooled = jnp.mean(seq, axis=1)
+        pooled = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              name="fc_norm")(pooled)
+        pooled = nn.Dropout(self.dropout, deterministic=not train)(pooled)
+        return nn.Dense(self.num_class, dtype=self.dtype,
+                        name="classifier")(pooled).astype(jnp.float32)
+
+
+_HF_LEAF = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+
+
+def convert_hf_videomae(state_dict, variables):
+    """Map HF VideoMAEForVideoClassification weights onto this tree.
+    Returns (new_variables, missing)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    def hf_key(path):
+        parts = list(path)
+        leaf = parts.pop()
+        if parts == ["patch_embed"]:
+            base = "videomae.embeddings.patch_embeddings.projection"
+        elif parts and parts[0].startswith("block"):
+            i = int(parts[0][5:])
+            sub = parts[1] if len(parts) > 1 else ""
+            layer = f"videomae.encoder.layer.{i}"
+            mapping = {
+                "norm1": f"{layer}.layernorm_before",
+                "norm2": f"{layer}.layernorm_after",
+                "fc1": f"{layer}.intermediate.dense",
+                "fc2": f"{layer}.output.dense",
+            }
+            if sub == "attn":
+                amap = {"q": "attention.attention.query",
+                        "k": "attention.attention.key",
+                        "v": "attention.attention.value",
+                        "proj": "attention.output.dense"}
+                base = f"{layer}.{amap[parts[2]]}"
+            else:
+                base = mapping[sub]
+        elif parts == ["fc_norm"]:
+            base = "fc_norm"
+        elif parts == ["classifier"]:
+            base = "classifier"
+        else:
+            return None
+        return f"{base}.{_HF_LEAF.get(leaf, leaf)}"
+
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v) for k, v in state_dict.items()}
+    flat = flatten_dict(variables)
+    out, missing = {}, []
+    for path, leaf in flat.items():
+        key = hf_key(list(path[1:]))
+        src = sd.get(key) if key else None
+        if src is None:
+            missing.append(".".join(map(str, path)))
+            out[path] = leaf
+            continue
+        if src.ndim == 5:            # conv3d [O,I,kt,kh,kw] -> (kt,kh,kw,I,O)
+            src = src.transpose(2, 3, 4, 1, 0)
+        elif src.ndim == 2:
+            src = src.T
+        out[path] = jnp.asarray(src, jnp.asarray(leaf).dtype)
+    return unflatten_dict(out), missing

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ehgr_tpu.configs import Config
-from ehgr_tpu.models.tsn import variant
 from ehgr_tpu.train.checkpoints import CheckpointManager, load_for_model
 from ehgr_tpu.train.optim import build_optimizer
 from ehgr_tpu.train.steps import (create_train_state, make_eval_step,
@@ -99,15 +98,8 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
     steps_per_epoch = min(len(train_loader),
                           max_steps_per_epoch or len(train_loader))
 
-    model = variant(cfg.model.arch, num_class=cfg.model.num_classes,
-                    num_segments=cfg.model.num_segments,
-                    base_model=cfg.model.base_model,
-                    temporal=(cfg.model.temporal_module
-                              if cfg.model.is_shift else "none"),
-                    shift_div=cfg.model.shift_div,
-                    dropout=cfg.model.dropout,
-                    partial_bn=cfg.model.partial_bn,
-                    dtype=jnp.dtype(cfg.model.dtype))
+    from ehgr_tpu.models.factory import build_model
+    model = build_model(cfg.model)
     x0 = jnp.zeros((2, cfg.model.num_segments, cfg.data.crop_size,
                     cfg.data.crop_size, 3), jnp.float32)
     init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))

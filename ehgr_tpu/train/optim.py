@@ -129,8 +129,12 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
 
 def build_optimizer(params, cfg_optim, fc_lr5: bool = True,
                     partial_bn: bool = False, steps_per_epoch: int = 1):
-    """Config -> (optimizer, labels)."""
-    labels = label_params(params, fc_lr5=fc_lr5, partial_bn=partial_bn)
+    """Config -> (optimizer, labels).  ``policies=False`` = single param
+    group (plain SGD+momentum+wd, train_slowonly.py style)."""
+    if getattr(cfg_optim, "policies", True):
+        labels = label_params(params, fc_lr5=fc_lr5, partial_bn=partial_bn)
+    else:
+        labels = jax.tree.map(lambda _: "normal_weight", params)
     tx = sgd_policies(
         labels, base_lr=cfg_optim.lr, momentum=cfg_optim.momentum,
         weight_decay=cfg_optim.weight_decay, lr_steps=cfg_optim.lr_steps,

@@ -79,6 +79,9 @@ def make_train_step(model, tx, *, stage: str, loss_cfg, ema_decay: float,
             aux = {"ce": total}
         elif stage == "mtmm":
             logits, depth_pred = out
+            # 3D models (R2Plus1D-MTMM) emit [N, T, h, w, 1]; TSN emits
+            # [NT, h, w, 1] — normalize to the latter
+            depth_pred = depth_pred.reshape((-1,) + depth_pred.shape[-3:])
             depth_gt = depth_to_target(batch["depth"], loss_cfg.depth_size)
             depth_gt = depth_gt.reshape((-1,) + depth_gt.shape[2:])
             total, aux = losses.mtmm_total(
