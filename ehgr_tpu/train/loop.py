@@ -128,6 +128,8 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
     eval_ema_fn = make_eval_step(model, mean=cfg.data.mean, std=cfg.data.std,
                                  use_ema=True, multi_output=multi)
 
+    from ehgr_tpu.utils.metrics_log import MetricsLogger
+    metrics_log = MetricsLogger(run_dir, name=cfg.run.model_name)
     ckpt = CheckpointManager(run_dir, cfg.run.model_name)
     rng = jax.random.key(cfg.run.seed + 1)
     best, ema_best = -1.0, -1.0
@@ -160,6 +162,11 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
         val = validate(eval_fn, state, val_loader, stage)
         val_ema = validate(eval_ema_fn, state, val_loader, stage)
         log.info("Epoch %d val: %s | ema: %s", epoch, val, val_ema)
+        metrics_log.log(
+            {"epoch": epoch, "train_loss": loss_m.avg,
+             "train_top1": top1_m.avg,
+             **{f"val_{k}": v for k, v in val.items()},
+             **{f"ema_{k}": v for k, v in val_ema.items()}}, step=epoch)
         if val.get("final_top1", 0.0) > best:
             best = val["final_top1"]
             ckpt.save("best", jax.device_get(state))
@@ -168,6 +175,7 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
             ckpt.save("ema_best", jax.device_get(state))
         last_val = val
 
+    metrics_log.close()
     return {"best_top1": best, "ema_best_top1": ema_best,
             "final_train_loss": loss_m.avg, **last_val,
             "run_dir": run_dir}
