@@ -275,6 +275,53 @@ class GroupFullResSample:
         return out
 
 
+class GroupRandomSizedCrop:
+    """Inception-style random area (0.08-1.0) + aspect (3/4-4/3) crop resized
+    to ``size``; falls back to scale+random-crop after 10 attempts
+    (ref ``spatial_transforms.py:376-422``)."""
+
+    def __init__(self, size: int, interpolation=_BILINEAR,
+                 rng: Optional[np.random.Generator] = None):
+        self.size = int(size)
+        self.interpolation = interpolation
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img_group: List[Image.Image]) -> List[Image.Image]:
+        import math
+
+        w0, h0 = img_group[0].size
+        for _ in range(10):
+            target_area = self.rng.uniform(0.08, 1.0) * w0 * h0
+            aspect = self.rng.uniform(3.0 / 4, 4.0 / 3)
+            w = int(round(math.sqrt(target_area * aspect)))
+            h = int(round(math.sqrt(target_area / aspect)))
+            if self.rng.random() < 0.5:
+                w, h = h, w
+            if w <= w0 and h <= h0:
+                x1 = int(self.rng.integers(0, w0 - w + 1))
+                y1 = int(self.rng.integers(0, h0 - h + 1))
+                return [img.crop((x1, y1, x1 + w, y1 + h)).resize(
+                    (self.size, self.size), self.interpolation)
+                    for img in img_group]
+        scale = GroupScale(self.size, interpolation=self.interpolation)
+        crop = GroupRandomCrop(self.size, rng=self.rng)
+        return crop(scale(img_group))
+
+
+class GroupMultiScaleRotate:
+    """Random small rotation applied clip-consistently
+    (ref ``spatial_transforms.py:445-457``)."""
+
+    def __init__(self, max_degrees: float = 10.0,
+                 rng: Optional[np.random.Generator] = None):
+        self.max_degrees = max_degrees
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img_group: List[Image.Image]) -> List[Image.Image]:
+        deg = float(self.rng.uniform(-self.max_degrees, self.max_degrees))
+        return [img.rotate(deg, resample=_BILINEAR) for img in img_group]
+
+
 class ToClipArray:
     """PIL list -> float32 ``[T, H, W, C]`` in [0, 1] (or [0, 255] with
     ``div=False`` for BNInception-style backbones; ``roll=True`` flips RGB to

@@ -117,6 +117,25 @@ def random_crop(num_frames: int, size: int, rng: np.random.Generator) -> np.ndar
     return loop_padding(np.arange(begin, end), size)
 
 
+def uniform_ego_train(num_frames: int, size: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Ego variant (TemporalUniformCrop_ego_train, ref :202-214): short
+    videos repeat ONE random frame instead of frame 0."""
+    average_duration = num_frames // size
+    if average_duration > 0:
+        base = np.arange(size, dtype=np.int64) * average_duration
+        return base + rng.integers(0, average_duration, size=size)
+    return np.full((size,), rng.integers(0, num_frames), dtype=np.int64)
+
+
+def uniform_ego_val(num_frames: int, size: int) -> np.ndarray:
+    """Ego variant (ref :217-231): short videos repeat the middle frame."""
+    if num_frames > size:
+        tick = num_frames / float(size)
+        return _as_int([int(tick / 2.0 + tick * x) for x in range(size)])
+    return np.full((size,), num_frames // 2, dtype=np.int64)
+
+
 def next_segment_indices(selected: np.ndarray, num_frames: int) -> np.ndarray:
     """Next-segment indices for MTMM depth supervision: drop the first index,
     append ``last+1`` clamped to the video length

