@@ -47,6 +47,11 @@ class ActionConv(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Opt-in Pallas single-pass shift kernel (TPU only).  Measured equal to
+    # the XLA slice/concat formulation inside the full model at batch 256
+    # (XLA fuses the taps into consumers); the kernel stays available as the
+    # building block for a fully fused ACTION megakernel.
+    use_pallas_shift: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -61,7 +66,12 @@ class ActionConv(nn.Module):
         shift_w = self.param(
             "shift_w",
             lambda key, shape: tsm_shift_init(c, self.shift_div), (3, c))
-        x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
+        if self.use_pallas_shift:
+            from ehgr_tpu.ops.pallas.shift import learnable_shift_pallas
+
+            x_shift5 = learnable_shift_pallas(x5, shift_w.astype(self.dtype))
+        else:
+            x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
 
         # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
         p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)       # [N,T,H,W,1]

@@ -97,3 +97,88 @@ def _bwd(fold_div, interpret, _, g):
 
 
 tsm_shift_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Learnable (ACTION) shift: out[t] = w0*x[t-1] + w1*x[t] + w2*x[t+1]
+# ---------------------------------------------------------------------------
+# XLA's formulation (ehgr_tpu.ops.temporal_shift.learnable_shift) materializes
+# the t-1 / t+1 copies -> ~3 HBM reads + concats per ACTION site; profiling
+# shows the shift alone is ~48% of the ACTION-ResNet50 forward.  This kernel
+# keeps the WHOLE T axis of an (n, h-tile) slab in VMEM, so each element is
+# read from HBM exactly once and the three taps are VMEM-local FMAs.
+
+
+def _lshift_kernel(x_ref, w_ref, out_ref):
+    # unrolled over the (static, small) T axis: per-t temporaries only, so
+    # VMEM holds just the in/out slabs — no materialized t+-1 copies
+    w = w_ref[...]                                  # [3, C]
+    t = x_ref.shape[1]
+    for tt in range(t):
+        acc = x_ref[0, tt] * w[1]
+        if tt > 0:
+            acc += x_ref[0, tt - 1] * w[0]
+        if tt + 1 < t:
+            acc += x_ref[0, tt + 1] * w[2]
+        out_ref[0, tt] = acc
+
+
+def _slab_rows(t: int, h: int, w: int, c: int, itemsize: int,
+               budget: int = 2 << 20) -> int:
+    ht = h
+    while ht > 1 and t * ht * w * c * itemsize > budget:
+        for d in range(ht - 1, 0, -1):
+            if h % d == 0:
+                ht = d
+                break
+    return ht
+
+
+def _run_lshift(x: jnp.ndarray, w: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    n, t, h, wd, c = x.shape
+    ht = _slab_rows(t, h, wd, c, x.dtype.itemsize)
+    blk = (1, t, ht, wd, c)
+    return pl.pallas_call(
+        _lshift_kernel,
+        grid=(n, h // ht),
+        in_specs=[
+            pl.BlockSpec(blk, lambda ni, hi: (ni, 0, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c), lambda ni, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda ni, hi: (ni, 0, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, w.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def learnable_shift_pallas(x: jnp.ndarray, w: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3-tap temporal conv (the ACTION ``action_shift``,
+    ``models/action.py:25-36``) as a single-HBM-pass Pallas kernel.
+    ``x``: [N,T,H,W,C]; ``w``: [3,C] cross-correlation taps."""
+    return _run_lshift(x, w, interpret)
+
+
+def _l_fwd(x, w, interpret):
+    return _run_lshift(x, w, interpret), (x, w)
+
+
+def _l_bwd(interpret, res, g):
+    x, w = res
+    # dL/dx[s] = w0*g[s+1] + w1*g[s] + w2*g[s-1]  == shift with flipped taps
+    dx = _run_lshift(g, w[::-1], interpret)
+    # dL/dw[k,c] = sum_{n,t,hw} x[t+k-1] * g[t]
+    gz = g.astype(jnp.float32)
+    xz = x.astype(jnp.float32)
+    dw0 = jnp.sum(xz[:, :-1] * gz[:, 1:], axis=(0, 1, 2, 3))
+    dw1 = jnp.sum(xz * gz, axis=(0, 1, 2, 3))
+    dw2 = jnp.sum(xz[:, 1:] * gz[:, :-1], axis=(0, 1, 2, 3))
+    dw = jnp.stack([dw0, dw1, dw2]).astype(w.dtype)
+    return dx, dw
+
+
+learnable_shift_pallas.defvjp(_l_fwd, _l_bwd)
