@@ -63,6 +63,8 @@ class ModelConfig:
     shift_place: str = "blockres"
     fc_lr5: bool = True                  # classifier head gets lr x5 / bias x10
     pretrain: str = "imagenet"           # 'imagenet' expects a converted ckpt; '' = random
+    # per-block activation rematerialization for large-batch training
+    remat: bool = False
     # compute dtype for the backbone (params stay f32)
     dtype: str = "bfloat16"
 

@@ -29,4 +29,5 @@ def build_model(m: ModelConfig):
                    num_segments=m.num_segments, base_model=m.base_model,
                    temporal=(m.temporal_module if m.is_shift else "none"),
                    shift_div=m.shift_div, dropout=m.dropout,
-                   partial_bn=m.partial_bn, modal=m.modal, dtype=dtype)
+                   partial_bn=m.partial_bn, modal=m.modal,
+                   remat=getattr(m, "remat", False), dtype=dtype)

@@ -96,6 +96,10 @@ class ResNetBackbone(nn.Module):
     n_segment: int = 8
     shift_div: int = 8
     partial_bn: bool = True
+    # rematerialize each block in the backward pass (jax.checkpoint): trades
+    # ~30% extra forward FLOPs for O(#blocks) activation memory — lets large
+    # clip batches train within one chip's HBM
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,6 +116,9 @@ class ResNetBackbone(nn.Module):
 
         taps: Dict[str, jnp.ndarray] = {"stem": x}
         planes = (64, 128, 256, 512)
+        # static_argnums counts self as 0: (x, train) -> train at 2
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat \
+            else Bottleneck
         # ACTION goes on every block; every-other for >=23-block stages
         # (action.py:208-218)
         for i, (n_blocks, p) in enumerate(zip(self.stage_sizes, planes), 1):
@@ -123,11 +130,11 @@ class ResNetBackbone(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 1 and j == 0) else 1
                 temporal = self.temporal if j % n_round == 0 else "none"
-                x = Bottleneck(
+                x = block_cls(
                     planes=p, stride=stride, has_downsample=(j == 0),
                     temporal=temporal, n_segment=self.n_segment,
                     shift_div=self.shift_div, bn_frozen=self.partial_bn,
-                    dtype=self.dtype, name=f"layer{i}_{j}")(x, train=train)
+                    dtype=self.dtype, name=f"layer{i}_{j}")(x, train)
             taps[f"layer{i}"] = x
 
         taps["pool"] = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)

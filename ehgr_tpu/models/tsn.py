@@ -61,6 +61,7 @@ class TSN(nn.Module):
     # combinations of rgb / depth / skeleton / text; only used with with_sd
     modal: str = "rgb"
     truncate_at: int = 0                # 0 = full; 1/2/3 = TSN_MiddleK
+    remat: bool = False                 # per-block activation remat
     dtype: Any = jnp.float32
 
     def _consensus(self, logits_nt: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +83,7 @@ class TSN(nn.Module):
         backbone = get_backbone(
             self.base_model, temporal=self.temporal,
             n_segment=self.num_segments, shift_div=self.shift_div,
-            partial_bn=self.partial_bn, dtype=self.dtype)
+            partial_bn=self.partial_bn, dtype=self.dtype, remat=self.remat)
         # Truncated deploy models only trace the stages they keep
         # (models_SD.py:563-565: deeper layers become None).
         max_stage = self.truncate_at if self.truncate_at else 4
@@ -166,11 +167,12 @@ def variant(arch: str, num_class: int, num_segments: int,
             base_model: str = "resnet50", temporal: str = "action",
             shift_div: int = 8, dropout: float = 0.5,
             partial_bn: bool = True, modal: str = "rgb_depth",
-            dtype: Any = jnp.float32) -> TSN:
+            remat: bool = False, dtype: Any = jnp.float32) -> TSN:
     """Factory mapping the reference's model files to TSN flags."""
     kw = dict(num_class=num_class, num_segments=num_segments,
               base_model=base_model, temporal=temporal, shift_div=shift_div,
-              dropout=dropout, partial_bn=partial_bn, dtype=dtype)
+              dropout=dropout, partial_bn=partial_bn, remat=remat,
+              dtype=dtype)
     if arch == "tsn":
         return TSN(**kw)
     if arch == "tsn_mtmm":
