@@ -69,6 +69,30 @@ def select_batch(batch: Dict[str, np.ndarray], stage: str,
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 
+def save_depth_artifacts(model, state, batch, run_dir: str, step: int,
+                         mean, std, depth_size: int):
+    """Dump predicted vs GT depth JPEG grids during MTMM training
+    (ref ``train_mtmm.py:267-271`` via torchshow)."""
+    from PIL import Image
+
+    from ehgr_tpu.ops.preprocess_device import depth_to_target, normalize_clip
+
+    rgb = normalize_clip(batch["rgb"][:1], mean, std)
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats}, rgb, train=False)
+    depth_pred = out[-1] if isinstance(out, tuple) else out
+    depth_pred = np.asarray(depth_pred.reshape((-1,) + depth_pred.shape[-3:]))
+    gt = depth_to_target(jnp.asarray(batch["depth"][:1]), depth_size)
+    gt = np.asarray(gt.reshape((-1,) + gt.shape[-3:]))
+
+    def grid(x):  # [T, h, w, 1] -> horizontal strip
+        strip = np.concatenate(list(x[..., 0]), axis=1)
+        return Image.fromarray((np.clip(strip, 0, 1) * 255).astype(np.uint8))
+
+    grid(depth_pred).save(os.path.join(run_dir, f"g_depth_out_{step}.jpg"))
+    grid(gt).save(os.path.join(run_dir, f"g_depth_gt_{step}.jpg"))
+
+
 def validate(eval_step, state, loader, stage: str) -> Dict[str, float]:
     totals: Dict[str, float] = {}
     n = 0
@@ -157,6 +181,10 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
                     timer.data_time.val, timer.data_time.avg,
                     timer.batch_time.val, timer.batch_time.avg,
                     loss_m.val, loss_m.avg, top1_m.val, top1_m.avg)
+                if cfg.run.save_depth_images and "depth" in b:
+                    save_depth_artifacts(
+                        model, state, b, run_dir, int(state.step),
+                        cfg.data.mean, cfg.data.std, loss_cfg.depth_size)
 
         ckpt.save("latest", jax.device_get(state))
         val = validate(eval_fn, state, val_loader, stage)

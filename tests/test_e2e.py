@@ -33,13 +33,18 @@ def tiny_cfg(tmp, arch, **run_kw):
 @pytest.mark.slow
 class TestEndToEnd:
     def test_mtmm_then_sd_transfer(self, tmp_path):
-        # Stage 1: MTMM
-        cfg1 = tiny_cfg(tmp_path, "tsn_mtmm")
+        # Stage 1: MTMM (with the depth-artifact dumps of train_mtmm.py:267)
+        cfg1 = tiny_cfg(tmp_path, "tsn_mtmm", save_depth_images=True,
+                        display=2)
         ds = build_train_datasets(cfg1, "mtmm")
         res1 = run_training(cfg1, "mtmm", *ds, max_steps_per_epoch=3)
         assert np.isfinite(res1["final_train_loss"])
         best = os.path.join(res1["run_dir"], "tiny_best_ckpt")
         assert os.path.isdir(best)
+        import glob
+
+        assert glob.glob(os.path.join(res1["run_dir"], "g_depth_out_*.jpg"))
+        assert glob.glob(os.path.join(res1["run_dir"], "g_depth_gt_*.jpg"))
 
         # Stage 2: SD init'd non-strict from the MTMM checkpoint
         cfg2 = tiny_cfg(tmp_path, "tsn_sd", checkpoint_path=best)
