@@ -33,6 +33,18 @@ from flax import linen as nn
 from ehgr_tpu.ops.temporal_shift import learnable_shift, tsm_shift_init
 
 
+class _Kernel1x1(nn.Module):
+    """Bare conv-kernel param holder: keeps the ('<name>', 'kernel') tree
+    path of an nn.Conv while letting callers use the array directly."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class ActionConv(nn.Module):
     """ACTION wrapper owning the conv it feeds (the reference's ``net``).
 
@@ -47,14 +59,15 @@ class ActionConv(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True
     dtype: jnp.dtype = jnp.float32
-    # Opt-in Pallas single-pass shift kernel (TPU only).  Measured equal to
-    # the XLA slice/concat formulation inside the full model at batch 256
-    # (XLA fuses the taps into consumers); the kernel stays available as the
-    # building block for a fully fused ACTION megakernel.
-    use_pallas_shift: bool = False
+    # Fused Pallas prologue (shift + STE-mean + CE-pool + ME-squeeze in one
+    # HBM pass) for the inference path.  None = auto: on for TPU eval calls.
+    # Training always uses the XLA formulation (autodiff).
+    fused: bool = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
         nt, h, w, c = x.shape
         n = nt // self.n_segment
         t = self.n_segment
@@ -66,21 +79,37 @@ class ActionConv(nn.Module):
         shift_w = self.param(
             "shift_w",
             lambda key, shape: tsm_shift_init(c, self.shift_div), (3, c))
-        if self.use_pallas_shift:
-            from ehgr_tpu.ops.pallas.shift import learnable_shift_pallas
+        # ME squeeze kernel (1x1 conv == matmul); declared as a raw param so
+        # both the XLA and fused paths consume the same ('p3_squeeze',
+        # 'kernel') tree entry
+        w_p3 = _Kernel1x1((1, 1, c, reduced), name="p3_squeeze")()
 
-            x_shift5 = learnable_shift_pallas(x5, shift_w.astype(self.dtype))
+        fused = self.fused
+        if fused is None:
+            fused = (not train) and jax.default_backend() == "tpu"
+        if fused:
+            from ehgr_tpu.ops.pallas.action_fused import action_fused_prologue
+
+            x_shift5, p1, pooled, x3_5 = action_fused_prologue(
+                x5, shift_w.astype(self.dtype),
+                w_p3[0, 0].astype(self.dtype))
+            x3 = x3_5.reshape(nt, h, w, reduced)
         else:
             x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
+            p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)   # [N,T,H,W,1]
+            pooled = jnp.mean(x_shift5, axis=(2, 3))          # [N,T,C]
+            x_shift_nt = x_shift5.reshape(nt, h, w, c)
+            x3 = jnp.dot(x_shift_nt.reshape(-1, c),
+                         w_p3[0, 0].astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+            x3 = x3.reshape(nt, h, w, reduced).astype(self.dtype)
 
         # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
-        p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)       # [N,T,H,W,1]
         p1 = nn.Conv(1, (3, 3, 3), use_bias=False, padding="SAME",
                      dtype=self.dtype, name="p1_conv")(p1)
         g1 = nn.sigmoid(p1)                                   # [N,T,H,W,1]
 
         # (3) CE — channel excitation (ref :43-48, 85-96)
-        pooled = jnp.mean(x_shift5, axis=(2, 3))              # [N,T,C]
         p2 = nn.Dense(reduced, use_bias=False, dtype=self.dtype,
                       name="p2_squeeze")(pooled)              # [N,T,Cr]
         p2 = nn.Conv(reduced, (3,), use_bias=False, padding="SAME",
@@ -91,9 +120,6 @@ class ActionConv(nn.Module):
         g2 = nn.sigmoid(p2)[:, :, None, None, :]              # [N,T,1,1,C]
 
         # (4) ME — motion excitation (ref :51-58, 98-113); consumes x_shift
-        x_shift_nt = x_shift5.reshape(nt, h, w, c)
-        x3 = nn.Conv(reduced, (1, 1), use_bias=False, dtype=self.dtype,
-                     name="p3_squeeze")(x_shift_nt)           # [NT,H,W,Cr]
         x3 = nn.BatchNorm(use_running_average=(not train) or self.bn_frozen,
                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                           name="p3_bn1")(x3)

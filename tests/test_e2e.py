@@ -16,6 +16,7 @@ CLS, T, HW = 5, 4, 32
 
 
 def tiny_cfg(tmp, arch, **run_kw):
+    run_kw.setdefault("display", 2)
     return Config(
         data=DataConfig(dataset="synthetic", backend="synthetic",
                         clip_len=T, batch_size=4, num_classes=CLS,
@@ -25,8 +26,7 @@ def tiny_cfg(tmp, arch, **run_kw):
                           partial_bn=False),
         optim=OptimConfig(lr=0.002, epochs=1, lr_steps=(100,),
                           ema_decay=0.9),
-        run=RunConfig(run_dir=str(tmp), model_name="tiny", display=2,
-                      **run_kw),
+        run=RunConfig(run_dir=str(tmp), model_name="tiny", **run_kw),
     ).validate()
 
 
