@@ -59,9 +59,11 @@ class ActionConv(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True
     dtype: jnp.dtype = jnp.float32
-    # Fused Pallas prologue (shift + STE-mean + CE-pool + ME-squeeze in one
-    # HBM pass) for the inference path.  None = auto: on for TPU eval calls.
-    # Training always uses the XLA formulation (autodiff).
+    # Opt-in fused Pallas prologue (shift + STE-mean + CE-pool + ME-squeeze
+    # in one pass).  Measured SLOWER than XLA's own fusion inside the full
+    # model (387 vs 450 clips/s at batch 256) — XLA overlaps these reductions
+    # with surrounding convs better than the sequential grid sweep; kept as
+    # verified infrastructure for a future full ACTION megakernel.
     fused: bool = None
 
     @nn.compact
@@ -84,9 +86,7 @@ class ActionConv(nn.Module):
         # 'kernel') tree entry
         w_p3 = _Kernel1x1((1, 1, c, reduced), name="p3_squeeze")()
 
-        fused = self.fused
-        if fused is None:
-            fused = (not train) and jax.default_backend() == "tpu"
+        fused = bool(self.fused) if self.fused is not None else False
         if fused:
             from ehgr_tpu.ops.pallas.action_fused import action_fused_prologue
 
