@@ -9,7 +9,6 @@ that reproduce those recipes exactly; every trainer/evaluator consumes a
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field, replace
 from typing import Optional, Sequence, Tuple
 

@@ -21,7 +21,7 @@ References: ``dataset_video_{original,MTMM,SD,inference,case_study}``
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 from PIL import Image

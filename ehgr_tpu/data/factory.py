@@ -6,9 +6,8 @@ from __future__ import annotations
 from typing import Tuple
 
 from ehgr_tpu.configs import Config
-from ehgr_tpu.data.datasets import (CaseStudyDataset, DistillDataset,
-                                    InferenceDataset, MTMMDataset,
-                                    OriginalDataset, SDDataset)
+from ehgr_tpu.data.datasets import (DistillDataset, InferenceDataset,
+                                    MTMMDataset, OriginalDataset)
 from ehgr_tpu.data.synthetic import SyntheticClipSource
 from ehgr_tpu.ops import spatial_transforms as st
 

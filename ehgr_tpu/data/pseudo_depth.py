@@ -15,7 +15,7 @@ runnable end-to-end without external weights.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import numpy as np
 from PIL import Image

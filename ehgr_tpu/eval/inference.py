@@ -13,7 +13,7 @@ Multi-crop protocols (NvGesture 3/10-crop) fold crops into K.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import numpy as np
 

@@ -6,9 +6,8 @@ multi-clip voting, top-1/5, confusion matrices (per exit for SD models).
 
 from __future__ import annotations
 
-import functools
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

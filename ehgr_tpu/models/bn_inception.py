@@ -17,7 +17,7 @@ stride-2 max-pooled input instead.  All pools are ceil-mode (Caffe).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

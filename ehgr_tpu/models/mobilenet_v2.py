@@ -13,7 +13,7 @@ via the naming scheme consumed by ``ehgr_tpu.models.torch_import``:
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ Every-other-block injection for >=23-block layer3 (ResNet-101) replicates
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

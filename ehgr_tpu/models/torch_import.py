@@ -25,13 +25,12 @@ BN leaves ``scale/bias/mean/var`` -> ``weight/bias/running_mean/running_var``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Mapping, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 _ACTION_CHILD = {

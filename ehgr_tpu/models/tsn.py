@@ -25,7 +25,7 @@ module with static flags; ``variant()`` builds each surface:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,7 +14,7 @@ state_dict onto this param tree for checkpoint-initialized fine-tuning.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 

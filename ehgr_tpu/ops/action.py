@@ -25,8 +25,6 @@ Gate math replicated exactly:
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -68,8 +66,6 @@ class ActionConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        import jax
-
         nt, h, w, c = x.shape
         n = nt // self.n_segment
         t = self.n_segment

@@ -22,7 +22,6 @@ XLA formulation (autodiff).  Parity enforced by tests/test_action_fused.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

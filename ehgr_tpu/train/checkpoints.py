@@ -14,7 +14,7 @@ Two ingestion paths:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import orbax.checkpoint as ocp

@@ -15,7 +15,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -28,14 +28,6 @@ from ehgr_tpu.train.optim import build_optimizer
 from ehgr_tpu.train.steps import (create_train_state, make_eval_step,
                                   make_train_step)
 from ehgr_tpu.utils.meters import AverageMeter, StepTimer
-
-STAGE_BATCH_FIELDS = {
-    "baseline": ("rgb", "label"),
-    "mtmm": ("rgb", "label", "depth"),
-    "sd": ("rgb", "label"),
-    "mtmm_sd": ("rgb", "label", "depth"),
-}
-
 
 def setup_run_dir(cfg: Config, stage: str) -> str:
     ts = time.strftime("%Y-%m-%d-%H-%M-%S")

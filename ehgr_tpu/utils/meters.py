@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import csv
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 class AverageMeter:
