@@ -98,3 +98,20 @@ class TestCheckpointRoundtrip:
         np.testing.assert_array_equal(merged["params"]["a"], 1)
         np.testing.assert_array_equal(merged["params"]["b"], 0)
         assert skipped == [("params", "c")]
+
+
+class TestSDTestProtocol:
+    def test_four_head_eval(self, tmp_path):
+        """test_sd verb path: per-exit voting over multi-clip batches +
+        confusion-matrix heatmap artifacts (test_sd.py behavior)."""
+        from ehgr_tpu.eval.runner import run_test
+
+        cfg = tiny_cfg(tmp_path, "tsn_sd")
+        res = run_test(cfg, arch="tsn_sd", heads=4)
+        for k in ("final", "mid1", "mid2", "mid3"):
+            assert 0.0 <= res[f"{k}_top1"] <= 100.0
+        cm = res["confusion"]["mid3"]
+        assert cm.m.sum() == res["n_videos"]
+        path = str(tmp_path / "cm.png")
+        cm.save_heatmap(path)
+        assert os.path.getsize(path) > 0
