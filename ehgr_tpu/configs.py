@@ -118,6 +118,10 @@ class RunConfig:
     save_depth_images: bool = False   # dump depth-pred JPEGs like train_mtmm.py:267-271
     seed: int = 0
     checkpoint_path: str = ""         # resume / stage-1 weights (--checkpoint_path)
+    # True: restore the FULL TrainState (optimizer momentum, EMA, step
+    # counter) from an orbax checkpoint — real crash-resume, which the
+    # reference's --resume (weights-only state_dict) cannot do
+    resume_full: bool = False
 
 
 @dataclass(frozen=True)

@@ -121,7 +121,7 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
     init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
     variables = init_fn({"params": jax.random.key(cfg.run.seed)}, x0)
 
-    if cfg.run.checkpoint_path:
+    if cfg.run.checkpoint_path and not cfg.run.resume_full:
         log.info("loading checkpoint %s (non-strict)", cfg.run.checkpoint_path)
         variables = load_for_model(cfg.run.checkpoint_path, variables)
 
@@ -130,6 +130,19 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
                             partial_bn=cfg.model.partial_bn,
                             steps_per_epoch=steps_per_epoch)
     state = create_train_state(variables, tx)
+
+    start_epoch = 0
+    if cfg.run.checkpoint_path and cfg.run.resume_full:
+        # crash-resume: optimizer momentum, EMA trees, and step counter come
+        # back exactly (the step counter also restores the LR-decay epoch)
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(cfg.run.checkpoint_path,
+                                  jax.device_get(state))
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        log.info("resumed full train state from %s at step %d (epoch %d)",
+                 cfg.run.checkpoint_path, int(state.step), start_epoch)
 
     # the global decoder emits crop/4 (224 -> 56, models_MTMM.py:129-155);
     # keep the depth-target size consistent at any input resolution
@@ -152,7 +165,7 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
     last_val: Dict[str, float] = {}
 
     n_epochs = epochs or cfg.optim.epochs
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         timer = StepTimer()
         loss_m, top1_m = AverageMeter(), AverageMeter()
         for i, batch in enumerate(train_loader):

