@@ -103,8 +103,10 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
                  steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """Build the policy optimizer.  ``labels`` from ``label_params``;
     the epoch for the decay schedule is derived from the step counter."""
-    mults = jax.tree.map(lambda lab: jnp.asarray(GROUPS[lab][0]), labels)
-    decays = jax.tree.map(lambda lab: jnp.asarray(GROUPS[lab][1]), labels)
+    # host-side python scalars: embedded into the jit trace as literals,
+    # never fetched from the device during tracing
+    mults = jax.tree.map(lambda lab: GROUPS[lab][0], labels)
+    decays = jax.tree.map(lambda lab: GROUPS[lab][1], labels)
 
     def init(params):
         return SgdPoliciesState(
