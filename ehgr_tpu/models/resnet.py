@@ -100,6 +100,10 @@ class ResNetBackbone(nn.Module):
     # ~30% extra forward FLOPs for O(#blocks) activation memory — lets large
     # clip batches train within one chip's HBM
     remat: bool = False
+    # halve T after stage 2 with a stride-2 temporal max pool
+    # (make_temporal_pool / TemporalPool, ref temporal_shift.py:157-176,
+    # 179-184: later stages then run at T/2)
+    temporal_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,6 +125,7 @@ class ResNetBackbone(nn.Module):
             else Bottleneck
         # ACTION goes on every block; every-other for >=23-block stages
         # (action.py:208-218)
+        seg = self.n_segment
         for i, (n_blocks, p) in enumerate(zip(self.stage_sizes, planes), 1):
             if i > max_stage:
                 # deployment truncation (TSN_MiddleK, models_SD.py:563-565):
@@ -132,10 +137,17 @@ class ResNetBackbone(nn.Module):
                 temporal = self.temporal if j % n_round == 0 else "none"
                 x = block_cls(
                     planes=p, stride=stride, has_downsample=(j == 0),
-                    temporal=temporal, n_segment=self.n_segment,
+                    temporal=temporal, n_segment=seg,
                     shift_div=self.shift_div, bn_frozen=self.partial_bn,
                     dtype=self.dtype, name=f"layer{i}_{j}")(x, train)
             taps[f"layer{i}"] = x
+            if self.temporal_pool and i == 2:
+                from ehgr_tpu.ops.temporal_shift import temporal_pool
+
+                nt, hh, ww, cc = x.shape
+                x5 = x.reshape(nt // seg, seg, hh, ww, cc)
+                x = temporal_pool(x5).reshape(-1, hh, ww, cc)
+                seg //= 2
 
         taps["pool"] = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         return taps

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -53,6 +54,11 @@ class TSN(nn.Module):
     temporal: str = "action"            # 'action' | 'tsm' | 'none'
     shift_div: int = 8
     consensus_type: str = "avg"
+    # apply softmax per segment BEFORE consensus when False
+    # (models.py:47-48, :351-353: only 'avg' consensus is legal then)
+    before_softmax: bool = True
+    # halve T after stage 2 (make_temporal_pool); consensus then runs at T/2
+    temporal_pool: bool = False
     dropout: float = 0.5
     partial_bn: bool = True
     with_depth: bool = False            # MTMM global depth decoder (stage 1)
@@ -65,7 +71,11 @@ class TSN(nn.Module):
     dtype: Any = jnp.float32
 
     def _consensus(self, logits_nt: jnp.ndarray) -> jnp.ndarray:
-        x = logits_nt.reshape(-1, self.num_segments, logits_nt.shape[-1])
+        seg = self.num_segments // 2 if self.temporal_pool \
+            else self.num_segments
+        if not self.before_softmax:
+            logits_nt = jax.nn.softmax(logits_nt, axis=-1)
+        x = logits_nt.reshape(-1, seg, logits_nt.shape[-1])
         return consensus(x, self.consensus_type)
 
     @nn.compact
@@ -83,7 +93,8 @@ class TSN(nn.Module):
         backbone = get_backbone(
             self.base_model, temporal=self.temporal,
             n_segment=self.num_segments, shift_div=self.shift_div,
-            partial_bn=self.partial_bn, dtype=self.dtype, remat=self.remat)
+            partial_bn=self.partial_bn, dtype=self.dtype, remat=self.remat,
+            temporal_pool=self.temporal_pool)
         # Truncated deploy models only trace the stages they keep
         # (models_SD.py:563-565: deeper layers become None).
         max_stage = self.truncate_at if self.truncate_at else 4

@@ -215,3 +215,24 @@ class TestTorchImport:
         }
         for path, want in cases.items():
             assert _flax_path_to_torch_key(path[1:]) == want, path
+
+
+class TestTemporalPoolAndSoftmax:
+    def test_temporal_pool_halves_segments(self):
+        model = TSN(num_class=CLS, num_segments=T, temporal="action",
+                    partial_bn=False, temporal_pool=True)
+        x = jnp.zeros((N, T, HW, HW, 3), jnp.float32)
+        v = model.init({"params": jax.random.key(0)}, x, train=False)
+        out = model.apply(v, x, train=False)
+        assert out.shape == (N, CLS)  # consensus over T/2 still per-video
+
+    def test_before_softmax_false_averages_probs(self):
+        model = TSN(num_class=CLS, num_segments=T, temporal="none",
+                    partial_bn=False, before_softmax=False, dropout=0.0)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (N, T, HW, HW, 3)), jnp.float32)
+        v = model.init({"params": jax.random.key(0)}, x, train=False)
+        out = model.apply(v, x, train=False)
+        # per-segment softmaxes averaged -> rows sum to 1
+        np.testing.assert_allclose(np.asarray(out).sum(axis=1), 1.0,
+                                   rtol=1e-5)
