@@ -60,6 +60,8 @@ class ModelConfig:
     temporal_module: str = "action"      # 'action' | 'tsm' | 'none'
     shift_div: int = 8
     shift_place: str = "blockres"
+    temporal_pool: bool = False          # halve T after stage 2 (--tpool)
+    before_softmax: bool = True          # False = prob-space consensus
     fc_lr5: bool = True                  # classifier head gets lr x5 / bias x10
     pretrain: str = "imagenet"           # 'imagenet' expects a converted ckpt; '' = random
     # per-block activation rematerialization for large-batch training

@@ -25,9 +25,14 @@ def build_model(m: ModelConfig):
         from ehgr_tpu.models.videomae import VideoMAE
         return VideoMAE(num_class=m.num_classes, dropout=m.dropout,
                         dtype=dtype)
-    return variant(m.arch, num_class=m.num_classes,
-                   num_segments=m.num_segments, base_model=m.base_model,
-                   temporal=(m.temporal_module if m.is_shift else "none"),
-                   shift_div=m.shift_div, dropout=m.dropout,
-                   partial_bn=m.partial_bn, modal=m.modal,
-                   remat=getattr(m, "remat", False), dtype=dtype)
+    model = variant(m.arch, num_class=m.num_classes,
+                    num_segments=m.num_segments, base_model=m.base_model,
+                    temporal=(m.temporal_module if m.is_shift else "none"),
+                    shift_div=m.shift_div, dropout=m.dropout,
+                    partial_bn=m.partial_bn, modal=m.modal,
+                    remat=getattr(m, "remat", False), dtype=dtype)
+    if m.temporal_pool or not m.before_softmax:
+        import dataclasses as _dc
+        model = _dc.replace(model, temporal_pool=m.temporal_pool,
+                            before_softmax=m.before_softmax)
+    return model
