@@ -26,7 +26,7 @@ def main():
     from ehgr_tpu.models.tsn import variant
     from ehgr_tpu.ops.preprocess_device import normalize_clip
 
-    BATCH = 256         # clips per call (throughput knee from batch sweep)
+    BATCH = 384         # clips per call (sweep: 256->451, 384->469, 512 OOM)
     T, HW = 8, 224
     WARMUP, ITERS = 3, 10
 
