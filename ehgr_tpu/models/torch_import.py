@@ -47,9 +47,10 @@ _ACTION_CHILD = {
 _BN_LEAF = {"scale": "weight", "bias": "bias",
             "mean": "running_mean", "var": "running_var"}
 # global decoder: nn.Sequential indices of convs/bns (models_MTMM.py:129-155)
+# layout: [conv,bn,relu,up]x3 + [conv,bn,relu] + conv1x1 + sigmoid
 _DECODER_SEQ = {"conv0": "0", "bn0": "1", "conv1": "4", "bn1": "5",
                 "conv2": "8", "bn2": "9", "conv3": "12", "bn3": "13",
-                "conv4": "16"}
+                "conv4": "15"}
 # SepConv op indices (models_SD.py:84-97)
 _SEPCONV_SEQ = {"dw1": "0", "pw1": "1", "bn1": "2", "dw2": "4", "pw2": "5",
                 "bn2": "6"}

@@ -190,7 +190,7 @@ class TestTorchImport:
             ("params", "global_decoder", "bn3", "bias"):
                 "global_decoder.13.bias",
             ("params", "global_decoder", "conv4", "bias"):
-                "global_decoder.16.bias",
+                "global_decoder.15.bias",
             ("params", "scala1", "sep2", "pw2", "kernel"):
                 "scala1.2.op.5.weight",
             ("batch_stats", "scala3", "sep0", "bn2", "var"):
