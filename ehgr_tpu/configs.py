@@ -24,7 +24,15 @@ class DataConfig:
     num_classes: int = 83                # 83 EgoGesture / 25 NvGesture
     # spatial pipeline (reference: GroupScale/GroupCenterCrop/GroupNormalize)
     scale_size: int = 224                # resize short side / square (per dataset)
-    crop_size: int = 224
+    crop_size: int = 224                 # TEST-protocol crop (test.py:204-221)
+    # train/val crop when it differs from the test crop: NvGesture trains on
+    # scale 256 -> MultiScaleCrop 224 but tests on 256 crops
+    # (train_mtmm.py:469-486 vs sh/test_nv.sh:2-8); None = same as crop_size
+    train_crop_size: Optional[int] = None
+
+    @property
+    def train_crop(self) -> int:
+        return self.train_crop_size or self.crop_size
     # ImageNet statistics (models_MTMM.py:124-125)
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
@@ -169,7 +177,8 @@ def _nv_base(**model_kw) -> Config:
     """sh/train_nv.sh: epochs 80, lr_steps (50,60,70), ema 0.999, 3-crop 256 test."""
     return Config(
         data=DataConfig(dataset="NvGesture", num_classes=25,
-                        scale_size=256, crop_size=256, test_crops=3),
+                        scale_size=256, crop_size=256, train_crop_size=224,
+                        test_crops=3),
         model=ModelConfig(num_classes=25, **model_kw),
         optim=OptimConfig(epochs=80, lr_steps=(50, 60, 70), ema_decay=0.999),
     )
@@ -221,6 +230,7 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
     p.add_argument("--test_crops", type=int, default=None)
     p.add_argument("--scale_size", type=int, default=None)
     p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--train_crop_size", type=int, default=None)
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -233,7 +243,8 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
     d = upd(d, dataset=args.dataset, annot_path=args.annot_path,
             clip_len=args.clip_len, batch_size=args.batch_size,
             clip_num=args.clip_num, test_crops=args.test_crops,
-            scale_size=args.scale_size, crop_size=args.crop_size)
+            scale_size=args.scale_size, crop_size=args.crop_size,
+            train_crop_size=args.train_crop_size)
     if args.synthetic:
         d = replace(d, backend="synthetic")
     m = upd(m, base_model=args.base_model, shift_div=args.shift_div,

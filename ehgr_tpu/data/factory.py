@@ -27,22 +27,27 @@ _STAGE_FIELDS = {
 
 def train_spatial_transform(cfg: Config, rng=None):
     """EgoGesture: square 224 resize + multi-scale crop; NvGesture:
-    short-side 256 + multi-scale crop to 224 (``train_mtmm.py:440-488``)."""
+    short-side 256 + multi-scale crop to 224 (``train_mtmm.py:440-488``) —
+    geometry comes from ``scale_size``/``train_crop`` so the presets carry
+    the train-vs-test crop split."""
     import numpy as np
 
     rng = rng or np.random.default_rng(cfg.run.seed)
-    crop = cfg.data.crop_size if cfg.data.dataset != "NvGesture" else 224
+    crop = cfg.data.train_crop
     if cfg.data.dataset == "NvGesture":
-        return st.Compose([st.GroupScale(256),
+        return st.Compose([st.GroupScale(cfg.data.scale_size),
                            st.GroupMultiScaleCrop(crop, rng=rng)])
     return st.Compose([st.GroupScale([crop, crop]),
                        st.GroupMultiScaleCrop([crop, crop], rng=rng)])
 
 
 def eval_spatial_transform(cfg: Config):
+    """Training-time val transform (``train_mtmm.py:479-486``): NvGesture
+    center-crops at the TRAIN crop size (224), not the test crop."""
     if cfg.data.dataset == "NvGesture":
-        return st.Compose([st.GroupScale(256), st.GroupCenterCrop(224)])
-    c = cfg.data.crop_size
+        return st.Compose([st.GroupScale(cfg.data.scale_size),
+                           st.GroupCenterCrop(cfg.data.train_crop)])
+    c = cfg.data.train_crop
     return st.Compose([st.GroupScale([c, c])])
 
 
@@ -70,7 +75,7 @@ def build_train_datasets(cfg: Config, stage: str,
     if cfg.data.backend == "synthetic":
         mk = lambda n, seed: SyntheticClipSource(
             n_videos=n, clip_len=cfg.data.clip_len,
-            size=(cfg.data.crop_size, cfg.data.crop_size),
+            size=(cfg.data.train_crop, cfg.data.train_crop),
             num_classes=cfg.data.num_classes,
             fields=_STAGE_FIELDS[stage] + ("label",), seed=seed)
         return mk(64, cfg.run.seed), mk(16, cfg.run.seed + 1)

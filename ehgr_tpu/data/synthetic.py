@@ -71,6 +71,44 @@ def make_synthetic_ego_tree(root: str, subjects=(3, 1, 2), scenes: int = 1,
     return {"frame_path": frame_path, "label_path": label_path}
 
 
+def make_synthetic_nv_tree(root: str, n_videos: int = 6,
+                           frames_per_video: int = 24,
+                           size: Tuple[int, int] = (60, 80),
+                           num_classes: int = 5, seed: int = 0) -> str:
+    """Build a miniature NvGesture-layout tree: per-video
+    ``Video_data/class_XX/subjectN_r0/{sk_color_all,sk_depth_all,
+    sk_depth_est_all}/*.jpg`` plus the two ``.lst`` files the annotation
+    builder parses (``/root/reference/data/dataset_NvGesture.py:13-69``
+    field layout: ``path:.`` 0, start/end in field 2, ``label:`` field 4).
+    Returns the dataset root (== the ``.lst`` directory)."""
+    rng = np.random.default_rng(seed)
+    h, w = size
+    lines = []
+    for v in range(n_videos):
+        cls = v % num_classes + 1  # 1-based in the .lst
+        rel = f"Video_data/class_{cls:02}/subject{v + 1}_r0"
+        base = os.path.join(root, rel)
+        for sub in ("sk_color_all", "sk_depth_all", "sk_depth_est_all"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        for i in range(1, frames_per_video + 1):
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            arr[..., 0] = np.clip(arr[..., 0] * 0.5 + cls * 40, 0, 255)
+            Image.fromarray(arr).save(
+                os.path.join(base, "sk_color_all", f"{i:05}.jpg"))
+            dep = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            Image.fromarray(dep, "L").save(
+                os.path.join(base, "sk_depth_all", f"{i:05}.jpg"))
+            Image.fromarray(dep, "L").save(
+                os.path.join(base, "sk_depth_est_all", f"{i:05}.jpg"))
+        lines.append(f"path:./{rel} depth:x color:x:1:{frames_per_video - 1} "
+                     f"duration:x label:{cls}\n")
+    for mode in ("train", "test"):
+        with open(os.path.join(
+                root, f"nvgesture_{mode}_correct_cvpr2016_v2.lst"), "w") as f:
+            f.writelines(lines)
+    return root
+
+
 class SyntheticClipSource:
     """In-memory dataset with the same mapping interface as
     ``ehgr_tpu.data.datasets`` classes; fields selectable per stage."""

@@ -57,16 +57,25 @@ def run_test(cfg: Config, arch: str = "tsn",
 
     @jax.jit
     def score(frames_u8):
-        v, k, t = frames_u8.shape[:3]
+        # [V, K, crops*T, H, W, C]; crop transforms emit frames crop-major
+        # (GroupFullResSample/GroupOverSample append whole frame groups per
+        # offset), so crops*T factors as (crops, T).  Crops fold into the
+        # clip-vote axis — the reference's Stack + view-by-num_segments
+        # equivalence (test.py:209-221 + models.py:323-356): probabilities
+        # average over clips x crops.
+        v, k, ct = frames_u8.shape[:3]
+        t = cfg.model.num_segments
+        crops = ct // t
+        assert crops * t == ct, (ct, t)
         x = normalize_clip(frames_u8, mean, std,
                            dtype=jnp.dtype(cfg.model.dtype))
-        x = x.reshape((v * k, t) + x.shape[3:])
+        x = x.reshape((v * k * crops, t) + x.shape[3:])
         out = model.apply(variables, x, train=False)
         outs = out if isinstance(out, tuple) else (out,)
         probs = []
         for lg in outs[:heads]:
             p = jax.nn.softmax(lg, axis=-1)
-            probs.append(jnp.mean(p.reshape(v, k, -1), axis=1))
+            probs.append(jnp.mean(p.reshape(v, k * crops, -1), axis=1))
         return tuple(probs)
 
     names = ["final"] + [f"mid{i}" for i in range(1, heads)]

@@ -116,8 +116,8 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
 
     from ehgr_tpu.models.factory import build_model
     model = build_model(cfg.model)
-    x0 = jnp.zeros((2, cfg.model.num_segments, cfg.data.crop_size,
-                    cfg.data.crop_size, 3), jnp.float32)
+    x0 = jnp.zeros((2, cfg.model.num_segments, cfg.data.train_crop,
+                    cfg.data.train_crop, 3), jnp.float32)
     init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
     variables = init_fn({"params": jax.random.key(cfg.run.seed)}, x0)
 
@@ -144,10 +144,11 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
         log.info("resumed full train state from %s at step %d (epoch %d)",
                  cfg.run.checkpoint_path, int(state.step), start_epoch)
 
-    # the global decoder emits crop/4 (224 -> 56, models_MTMM.py:129-155);
-    # keep the depth-target size consistent at any input resolution
+    # the global decoder emits TRAIN-crop/4 (224 -> 56, the size the
+    # reference hardcodes, train_mtmm.py:226-229); the test crop can differ
+    # (NvGesture tests at 256) without changing the depth-target geometry
     from dataclasses import replace as _replace
-    loss_cfg = _replace(cfg.loss, depth_size=cfg.data.crop_size // 4)
+    loss_cfg = _replace(cfg.loss, depth_size=cfg.data.train_crop // 4)
     step_fn = make_train_step(model, tx, stage=stage, loss_cfg=loss_cfg,
                               ema_decay=cfg.optim.ema_decay,
                               mean=cfg.data.mean, std=cfg.data.std)
