@@ -1,14 +1,22 @@
-"""Benchmark: inference clips/sec/chip on the flagship deployment model.
+"""Benchmark: the BASELINE.json metric surface on one chip, ONE JSON line.
 
-Protocol matches BASELINE.json's metric surface: 8-frame 224^2 RGB clips
-through TSN + ACTION ResNet-50 (the EgoGesture MTMM deploy config — decoder
-dropped at inference), uint8 in, on-device normalize, bf16 compute.
+Three families (BASELINE.json: "clips/sec/chip ...; top-1 parity; p50 clip
+latency"):
 
-vs_baseline: the only primary-source throughput number for the reference is
-~15 clips/s on its (unrecorded) training GPU (BASELINE.md: batch 8 /
-0.52 s steady step); the north star is >=5x that per chip.
+* inference clips/sec/chip — 8-frame 224^2 RGB clips through TSN + ACTION
+  ResNet-50 (the EgoGesture MTMM deploy config — decoder dropped at
+  inference), uint8 in, on-device normalize, bf16 compute, pipelined
+  dispatch at the best batch.
+* p50/p99 single-clip latency — batch-1 jit, blocked per call.  Includes
+  this environment's ~30 ms tunnel dispatch floor (client-observed latency);
+  the pure device time is far lower.
+* training clips/sec/chip — the full jitted MTMM train step (device
+  preprocess + fwd + CE+depth loss + bwd + policy-SGD + EMA) at batch 32.
 
-Prints ONE JSON line.
+vs_baseline compares INFERENCE throughput against the reference's only
+primary-source rate: ~15 clips/s during training on its (unrecorded) GPU
+(BASELINE.md: batch 8 / 0.52 s steady step).  train_vs_baseline is the
+like-for-like train-step comparison.
 """
 
 from __future__ import annotations
@@ -17,6 +25,83 @@ import json
 import time
 
 import numpy as np
+
+
+def _bench_inference(jax, jnp, model, variables, normalize_clip,
+                     batch, t, hw, warmup=3, iters=10):
+    @jax.jit
+    def score(frames_u8):
+        x = normalize_clip(frames_u8, dtype=jnp.bfloat16)
+        return model.apply(variables, x, train=False)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (batch, t, hw, hw, 3)), jnp.uint8)
+    for _ in range(warmup):
+        score(frames).block_until_ready()
+    # throughput: pipelined dispatch (async jax dispatch overlaps host/device)
+    t0 = time.perf_counter()
+    outs = [score(frames) for _ in range(iters)]
+    outs[-1].block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, score
+
+
+def _bench_latency(jax, jnp, model, variables, normalize_clip, t, hw,
+                   warmup=3, iters=30):
+    @jax.jit
+    def score_one(frames_u8):
+        x = normalize_clip(frames_u8, dtype=jnp.bfloat16)
+        return model.apply(variables, x, train=False)
+
+    rng = np.random.default_rng(1)
+    clip = jnp.asarray(rng.integers(0, 256, (1, t, hw, hw, 3)), jnp.uint8)
+    for _ in range(warmup):
+        score_one(clip).block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        score_one(clip).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50)), float(np.percentile(times, 99))
+
+
+def _bench_train(jax, jnp, t, hw, batch=32, warmup=2, iters=6):
+    from ehgr_tpu.configs import LossConfig, OptimConfig
+    from ehgr_tpu.models.tsn import variant
+    from ehgr_tpu.train.optim import build_optimizer
+    from ehgr_tpu.train.steps import create_train_state, make_train_step
+
+    model = variant("tsn_mtmm", num_class=83, num_segments=t,
+                    base_model="resnet50", temporal="action",
+                    partial_bn=False, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((2, t, hw, hw, 3), jnp.float32)
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = init_fn({"params": jax.random.key(0)}, x0)
+    tx, _ = build_optimizer(variables["params"], OptimConfig(),
+                            steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, stage="mtmm",
+                           loss_cfg=LossConfig(depth_size=hw // 4),
+                           ema_decay=0.9999,
+                           mean=(0.485, 0.456, 0.406),
+                           std=(0.229, 0.224, 0.225))
+    rng = np.random.default_rng(2)
+    b = {"rgb": jnp.asarray(rng.integers(0, 256, (batch, t, hw, hw, 3)),
+                            jnp.uint8),
+         "depth": jnp.asarray(rng.integers(0, 256, (batch, t, hw, hw, 1)),
+                              jnp.uint8),
+         "label": jnp.asarray(rng.integers(0, 83, (batch,)))}
+    key = jax.random.key(0)
+    for _ in range(warmup):
+        state, m = step(state, b, key)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, b, key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
@@ -28,7 +113,6 @@ def main():
 
     BATCH = 384         # clips per call (sweep: 256->451, 384->469, 512 OOM)
     T, HW = 8, 224
-    WARMUP, ITERS = 3, 10
 
     model = variant("tsn", num_class=83, num_segments=T,
                     base_model="resnet50", temporal="action",
@@ -39,32 +123,24 @@ def main():
         {"params": jax.random.key(0)},
         normalize_clip(x0, dtype=jnp.bfloat16)))
 
-    @jax.jit
-    def score(frames_u8):
-        x = normalize_clip(frames_u8, dtype=jnp.bfloat16)
-        return model.apply(variables, x, train=False)
+    clips_per_sec, _ = _bench_inference(
+        jax, jnp, model, variables, normalize_clip, BATCH, T, HW)
+    p50, p99 = _bench_latency(
+        jax, jnp, model, variables, normalize_clip, T, HW)
+    train_cps = _bench_train(jax, jnp, T, HW)
 
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 256, (BATCH, T, HW, HW, 3)), jnp.uint8)
-
-    for _ in range(WARMUP):
-        score(frames).block_until_ready()
-
-    # throughput: pipelined dispatch (async jax dispatch overlaps host/device)
-    t0 = time.perf_counter()
-    outs = [score(frames) for _ in range(ITERS)]
-    outs[-1].block_until_ready()
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = BATCH * ITERS / dt
     baseline = 15.0  # reference ~15 clips/s (BASELINE.md train-step rate)
     print(json.dumps({
         "metric": "clips/sec/chip, 8-frame 224^2 inference, "
-                  "TSN+ACTION ResNet-50 bf16",
+                  "TSN+ACTION ResNet-50 bf16 (vs_baseline = inference "
+                  "vs reference TRAIN-step rate, the only primary number)",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / baseline, 2),
+        "p50_clip_latency_ms": round(p50, 2),
+        "p99_clip_latency_ms": round(p99, 2),
+        "train_clips_per_sec": round(train_cps, 2),
+        "train_vs_baseline": round(train_cps / baseline, 2),
     }))
 
 
