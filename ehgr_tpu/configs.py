@@ -74,6 +74,9 @@ class ModelConfig:
     pretrain: str = "imagenet"           # 'imagenet' expects a converted ckpt; '' = random
     # per-block activation rematerialization for large-batch training
     remat: bool = False
+    # ACTION kernel mode at inference: None/'' (XLA) | 'prologue' | 'mega'
+    # (the two-sweep Pallas megakernel, ehgr_tpu/ops/pallas/action_mega.py)
+    action_fused: Optional[str] = None
     # compute dtype for the backbone (params stay f32)
     dtype: str = "bfloat16"
 

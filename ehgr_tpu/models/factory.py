@@ -30,7 +30,8 @@ def build_model(m: ModelConfig):
                     temporal=(m.temporal_module if m.is_shift else "none"),
                     shift_div=m.shift_div, dropout=m.dropout,
                     partial_bn=m.partial_bn, modal=m.modal,
-                    remat=getattr(m, "remat", False), dtype=dtype)
+                    remat=getattr(m, "remat", False),
+                    action_fused=(m.action_fused or None), dtype=dtype)
     if m.temporal_pool or not m.before_softmax:
         import dataclasses as _dc
         model = _dc.replace(model, temporal_pool=m.temporal_pool,

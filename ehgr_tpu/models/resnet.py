@@ -41,6 +41,7 @@ class Bottleneck(nn.Module):
     n_segment: int = 8
     shift_div: int = 8
     bn_frozen: bool = True        # partial-BN: freeze all non-stem BNs
+    action_fused: object = None   # ActionConv kernel mode (None|'mega'|...)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,6 +56,7 @@ class Bottleneck(nn.Module):
         if self.temporal == "action":
             out = ActionConv(self.planes, n_segment=self.n_segment,
                              shift_div=self.shift_div, bn_frozen=self.bn_frozen,
+                             fused=self.action_fused,
                              dtype=self.dtype, name="conv1")(x, train=train)
         elif self.temporal == "tsm":
             out = TSMConv(self.planes, n_segment=self.n_segment,
@@ -104,6 +106,10 @@ class ResNetBackbone(nn.Module):
     # (make_temporal_pool / TemporalPool, ref temporal_shift.py:157-176,
     # 179-184: later stages then run at T/2)
     temporal_pool: bool = False
+    action_fused: object = None   # ActionConv kernel mode (None|'mega'|...)
+    # stages that receive the temporal module (the ACTION paper's placement
+    # accuracy/compute knob; (1,2,3,4) = every stage, the reference default)
+    action_stages: Sequence[int] = (1, 2, 3, 4)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,11 +140,13 @@ class ResNetBackbone(nn.Module):
             n_round = 2 if n_blocks >= 23 else 1
             for j in range(n_blocks):
                 stride = 2 if (i > 1 and j == 0) else 1
-                temporal = self.temporal if j % n_round == 0 else "none"
+                temporal = self.temporal if (
+                    j % n_round == 0 and i in self.action_stages) else "none"
                 x = block_cls(
                     planes=p, stride=stride, has_downsample=(j == 0),
                     temporal=temporal, n_segment=seg,
                     shift_div=self.shift_div, bn_frozen=self.partial_bn,
+                    action_fused=self.action_fused,
                     dtype=self.dtype, name=f"layer{i}_{j}")(x, train)
             taps[f"layer{i}"] = x
             if self.temporal_pool and i == 2:

@@ -68,6 +68,11 @@ class TSN(nn.Module):
     modal: str = "rgb"
     truncate_at: int = 0                # 0 = full; 1/2/3 = TSN_MiddleK
     remat: bool = False                 # per-block activation remat
+    # ActionConv kernel mode at inference: None (XLA) | 'prologue' | 'mega'
+    # (resnet-family only; see ehgr_tpu/ops/pallas/action_mega.py)
+    action_fused: Any = None
+    # stages carrying the temporal module (ACTION placement ablation knob)
+    action_stages: Any = (1, 2, 3, 4)
     dtype: Any = jnp.float32
 
     def _consensus(self, logits_nt: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +99,8 @@ class TSN(nn.Module):
             self.base_model, temporal=self.temporal,
             n_segment=self.num_segments, shift_div=self.shift_div,
             partial_bn=self.partial_bn, dtype=self.dtype, remat=self.remat,
-            temporal_pool=self.temporal_pool)
+            temporal_pool=self.temporal_pool, action_fused=self.action_fused,
+            action_stages=self.action_stages)
         # Truncated deploy models only trace the stages they keep
         # (models_SD.py:563-565: deeper layers become None).
         max_stage = self.truncate_at if self.truncate_at else 4
@@ -178,11 +184,14 @@ def variant(arch: str, num_class: int, num_segments: int,
             base_model: str = "resnet50", temporal: str = "action",
             shift_div: int = 8, dropout: float = 0.5,
             partial_bn: bool = True, modal: str = "rgb_depth",
-            remat: bool = False, dtype: Any = jnp.float32) -> TSN:
+            remat: bool = False, action_fused: Any = None,
+            action_stages: Any = (1, 2, 3, 4),
+            dtype: Any = jnp.float32) -> TSN:
     """Factory mapping the reference's model files to TSN flags."""
     kw = dict(num_class=num_class, num_segments=num_segments,
               base_model=base_model, temporal=temporal, shift_div=shift_div,
               dropout=dropout, partial_bn=partial_bn, remat=remat,
+              action_fused=action_fused, action_stages=tuple(action_stages),
               dtype=dtype)
     if arch == "tsn":
         return TSN(**kw)

@@ -25,6 +25,7 @@ Gate math replicated exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,12 +58,17 @@ class ActionConv(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True
     dtype: jnp.dtype = jnp.float32
-    # Opt-in fused Pallas prologue (shift + STE-mean + CE-pool + ME-squeeze
-    # in one pass).  Measured SLOWER than XLA's own fusion inside the full
-    # model (387 vs 450 clips/s at batch 256) — XLA overlaps these reductions
-    # with surrounding convs better than the sequential grid sweep; kept as
-    # verified infrastructure for a future full ACTION megakernel.
-    fused: bool = None
+    # Kernel mode for the inference fast path (training always takes the XLA
+    # formulation, which autodiffs):
+    #   None / False / 'none' — pure XLA (fusion decided by the compiler)
+    #   True / 'prologue'     — one-pass gate-stats kernel, x_shift still
+    #                           materialized (ops/pallas/action_fused.py);
+    #                           measured SLOWER in-model, kept as verified
+    #                           infrastructure (docs/PERF.md)
+    #   'mega'                — two-sweep megakernel: stats sweep + fused
+    #                           gates/gated-sum/wrapped-conv sweep; x_shift
+    #                           never touches HBM (ops/pallas/action_mega.py)
+    fused: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -73,37 +79,62 @@ class ActionConv(nn.Module):
 
         x5 = x.reshape(n, t, h, w, c)
 
-        # (1) learnable temporal shift, TSM-initialized (ref :25-36)
+        # --- params shared by every path (same tree entries regardless of
+        # kernel mode, so checkpoints and torch_import are mode-agnostic) ---
+        # (1) learnable temporal shift taps, TSM-initialized (ref :25-36)
         shift_w = self.param(
             "shift_w",
             lambda key, shape: tsm_shift_init(c, self.shift_div), (3, c))
-        # ME squeeze kernel (1x1 conv == matmul); declared as a raw param so
-        # both the XLA and fused paths consume the same ('p3_squeeze',
-        # 'kernel') tree entry
+        # ME squeeze / STE conv3d / wrapped-conv kernels as raw params (the
+        # ('<name>', 'kernel') paths an nn.Conv would create)
         w_p3 = _Kernel1x1((1, 1, c, reduced), name="p3_squeeze")()
+        k_p1 = _Kernel1x1((3, 3, 3, 1, 1), name="p1_conv")()
+        w_net = (_Kernel1x1((1, 1, c, self.features), name="net")()
+                 if self.features else None)
 
-        fused = bool(self.fused) if self.fused is not None else False
-        if fused:
-            from ehgr_tpu.ops.pallas.action_fused import action_fused_prologue
+        mode = {None: "none", False: "none", True: "prologue"}.get(
+            self.fused, self.fused)
+        use_mega = mode == "mega" and not train and self.features > 0
+        use_prologue = mode == "prologue" and not train
 
-            x_shift5, p1, pooled, x3_5 = action_fused_prologue(
-                x5, shift_w.astype(self.dtype),
-                w_p3[0, 0].astype(self.dtype))
-            x3 = x3_5.reshape(nt, h, w, reduced)
+        g1 = x_shift5 = None
+        if use_mega:
+            from ehgr_tpu.ops.pallas.action_mega import (action_stats,
+                                                         ste_stencil)
+
+            # flattened-spatial layout for the kernels (free reshape)
+            x4 = x5.reshape(n, t, h * w, c)
+            mc, pooled, x3_4 = action_stats(
+                x4, shift_w.astype(self.dtype), w_p3[0, 0].astype(self.dtype))
+            x3 = x3_4.reshape(nt, h, w, reduced)
+            # (2) STE as a 27-tap stencil on the [N,T,H,W] mean map
+            g1_map = nn.sigmoid(ste_stencil(
+                mc.reshape(n, t, h, w),
+                k_p1[..., 0, 0].astype(self.dtype)))          # [N,T,H,W]
         else:
-            x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
-            p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)   # [N,T,H,W,1]
-            pooled = jnp.mean(x_shift5, axis=(2, 3))          # [N,T,C]
-            x_shift_nt = x_shift5.reshape(nt, h, w, c)
-            x3 = jnp.dot(x_shift_nt.reshape(-1, c),
-                         w_p3[0, 0].astype(self.dtype),
-                         preferred_element_type=jnp.float32)
-            x3 = x3.reshape(nt, h, w, reduced).astype(self.dtype)
+            if use_prologue:
+                from ehgr_tpu.ops.pallas.action_fused import (
+                    action_fused_prologue)
 
-        # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
-        p1 = nn.Conv(1, (3, 3, 3), use_bias=False, padding="SAME",
-                     dtype=self.dtype, name="p1_conv")(p1)
-        g1 = nn.sigmoid(p1)                                   # [N,T,H,W,1]
+                x_shift5, p1, pooled, x3_5 = action_fused_prologue(
+                    x5, shift_w.astype(self.dtype),
+                    w_p3[0, 0].astype(self.dtype))
+                x3 = x3_5.reshape(nt, h, w, reduced)
+            else:
+                x_shift5 = learnable_shift(x5, shift_w.astype(self.dtype))
+                p1 = jnp.mean(x_shift5, axis=-1, keepdims=True)  # [N,T,H,W,1]
+                pooled = jnp.mean(x_shift5, axis=(2, 3))         # [N,T,C]
+                x_shift_nt = x_shift5.reshape(nt, h, w, c)
+                x3 = jnp.dot(x_shift_nt.reshape(-1, c),
+                             w_p3[0, 0].astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+                x3 = x3.reshape(nt, h, w, reduced).astype(self.dtype)
+
+            # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
+            p1 = jax.lax.conv_general_dilated(
+                p1, k_p1.astype(self.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            g1 = nn.sigmoid(p1)                               # [N,T,H,W,1]
 
         # (3) CE — channel excitation (ref :43-48, 85-96)
         p2 = nn.Dense(reduced, use_bias=False, dtype=self.dtype,
@@ -113,7 +144,7 @@ class ActionConv(nn.Module):
         p2 = nn.relu(p2)
         p2 = nn.Dense(c, use_bias=False, dtype=self.dtype,
                       name="p2_expand")(p2)                   # [N,T,C]
-        g2 = nn.sigmoid(p2)[:, :, None, None, :]              # [N,T,1,1,C]
+        g2 = nn.sigmoid(p2)                                   # [N,T,C]
 
         # (4) ME — motion excitation (ref :51-58, 98-113); consumes x_shift
         x3 = nn.BatchNorm(use_running_average=(not train) or self.bn_frozen,
@@ -130,16 +161,29 @@ class ActionConv(nn.Module):
         p3 = jnp.mean(diff, axis=(2, 3))                      # [N,T,Cr]
         p3 = nn.Dense(c, use_bias=False, dtype=self.dtype,
                       name="p3_expand")(p3)
-        g3 = nn.sigmoid(p3)[:, :, None, None, :]              # [N,T,1,1,C]
+        g3 = nn.sigmoid(p3)                                   # [N,T,C]
+
+        if use_mega:
+            from ehgr_tpu.ops.pallas.action_mega import action_apply
+
+            # gated sum + wrapped 1x1 conv in one sweep:
+            # x_shift * (g1 + g2 + g3 + 3) @ w_net  (ref :83,96,113,115)
+            gch = (g2 + g3 + 3.0).astype(self.dtype)          # [N,T,C]
+            out = action_apply(x4, shift_w.astype(self.dtype),
+                               g1_map.reshape(n, t, h * w, 1), gch,
+                               w_net[0, 0].astype(self.dtype))
+            return out.reshape(nt, h, w, self.features)
 
         # gated sum: each branch is x_shift * g + x_shift  (ref :83,96,113,115)
-        gated = x_shift5 * (g1 + g2 + g3) + 3.0 * x_shift5
+        gated = x_shift5 * (g1 + g2[:, :, None, None, :] +
+                            g3[:, :, None, None, :]) + 3.0 * x_shift5
         gated = gated.reshape(nt, h, w, c)
 
         if self.features == 0:     # gate-only mode (ActionGate)
             return gated
-        return nn.Conv(self.features, (1, 1), use_bias=False,
-                       dtype=self.dtype, name="net")(gated)
+        out = jnp.dot(gated.reshape(-1, c), w_net[0, 0].astype(self.dtype),
+                      preferred_element_type=jnp.float32)
+        return out.reshape(nt, h, w, self.features).astype(self.dtype)
 
 
 def ActionGate(n_segment: int, shift_div: int = 8, bn_frozen: bool = False,
