@@ -41,7 +41,9 @@ class DataConfig:
     test_crops: int = 1                  # 1 (Ego) | 3 | 10 (Nv variants)
     num_workers: int = 4
     seed: int = 0
-    # host pipeline: 'pil' decodes JPEGs; 'synthetic' generates random frames
+    # host pipeline: 'pil' decodes with PIL; 'native' uses the C++ fused
+    # decode->resize->crop library (bit-exact vs PIL, PIL fallback per clip);
+    # 'synthetic' generates random frames
     backend: str = "pil"
 
 

@@ -31,9 +31,25 @@ from ehgr_tpu.ops import temporal_transforms as tt
 
 
 def _decode(paths: Sequence[str], indices: np.ndarray, mode: str,
-            spatial: Optional[Callable]) -> np.ndarray:
+            spatial: Optional[Callable],
+            backend: str = "pil") -> np.ndarray:
     """Decode selected frames, apply a group spatial transform, return
-    ``[T', H, W, C]`` uint8 (T' may be crops*T for multi-crop evals)."""
+    ``[T', H, W, C]`` uint8 (T' may be crops*T for multi-crop evals).
+
+    ``backend='native'`` routes through the C++ fused
+    decode->resize->crop path (``ehgr_tpu/data/native_io.py``, bit-exact
+    vs PIL — tests/test_native_io.py), falling back to PIL per clip for
+    chains/files the planner does not cover.  ``'native_fast'`` also
+    allows DCT-scaled JPEG decode (same geometry, ~2-4x less decode work
+    on downscale, not bit-identical to PIL)."""
+    if backend in ("native", "native_fast"):
+        from ehgr_tpu.data import native_io
+        try:
+            return native_io.decode_clip(list(paths), np.asarray(indices),
+                                         mode, spatial,
+                                         fast=(backend == "native_fast"))
+        except (native_io.UnsupportedChain, IOError, RuntimeError):
+            pass
     imgs = [Image.open(paths[i]).convert(mode) for i in indices]
     if spatial is not None:
         imgs = spatial(imgs)
@@ -55,13 +71,15 @@ class ClipDataset:
     def __init__(self, annot_path: str, mode: str,
                  spatial_transform: Optional[Callable] = None,
                  temporal_transform: str = "uniform_train",
-                 clip_len: int = 8, seed: int = 0):
+                 clip_len: int = 8, seed: int = 0,
+                 decode_backend: str = "pil"):
         df = load_annotations(annot_path, mode)
         self.samples = {c: list(df[c]) for c in df.columns if c != "label"}
         self.labels = [int(l) for l in df["label"]]
         self.spatial = spatial_transform
         self.temporal = temporal_transform
         self.clip_len = clip_len
+        self.decode_backend = decode_backend
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -78,6 +96,10 @@ class ClipDataset:
             return tt.dense_train(num_frames, self.clip_len, self.rng)
         raise ValueError(self.temporal)
 
+    def _dec(self, paths, sel, mode):
+        return _decode(paths, sel, mode, self.spatial,
+                       backend=self.decode_backend)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
@@ -90,9 +112,8 @@ class OriginalDataset(ClipDataset):
         rgb_p = self.samples["rgb"][idx]
         sel = self._sample_indices(len(rgb_p))
         return {
-            "rgb": _decode(rgb_p, sel, "RGB", self.spatial),
-            "depth": _decode(self.samples["depth"][idx], sel, "L",
-                             self.spatial),
+            "rgb": self._dec(rgb_p, sel, "RGB"),
+            "depth": self._dec(self.samples["depth"][idx], sel, "L"),
             "label": np.int32(self.labels[idx]),
         }
 
@@ -103,7 +124,7 @@ class SDDataset(ClipDataset):
     def __getitem__(self, idx):
         rgb_p = self.samples["rgb"][idx]
         sel = self._sample_indices(len(rgb_p))
-        return {"rgb": _decode(rgb_p, sel, "RGB", self.spatial),
+        return {"rgb": self._dec(rgb_p, sel, "RGB"),
                 "label": np.int32(self.labels[idx])}
 
 
@@ -124,11 +145,11 @@ class MTMMDataset(ClipDataset):
         sel = self._sample_indices(n)
         nxt = tt.next_segment_indices(sel, n)
         return {
-            "rgb": _decode(rgb_p, sel, "RGB", self.spatial),
-            "depth": _decode(depth_p, sel, "L", self.spatial),
-            "depth_est": _decode(dest_p, sel, "L", self.spatial),
-            "n_depth": _decode(depth_p, nxt, "L", self.spatial),
-            "n_depth_est": _decode(dest_p, nxt, "L", self.spatial),
+            "rgb": self._dec(rgb_p, sel, "RGB"),
+            "depth": self._dec(depth_p, sel, "L"),
+            "depth_est": self._dec(dest_p, sel, "L"),
+            "n_depth": self._dec(depth_p, nxt, "L"),
+            "n_depth_est": self._dec(dest_p, nxt, "L"),
             "label": np.int32(self.labels[idx]),
         }
 
@@ -147,7 +168,7 @@ class InferenceDataset(ClipDataset):
         clips = []
         for _ in range(self.clip_num):
             sel = self._sample_indices(n)
-            clips.append(_decode(rgb_p, sel, "RGB", self.spatial))
+            clips.append(self._dec(rgb_p, sel, "RGB"))
         return {"rgb": np.stack(clips, axis=0),
                 "label": np.int32(self.labels[idx])}
 
@@ -161,11 +182,10 @@ class CaseStudyDataset(InferenceDataset):
         rgb_p = self.samples["rgb"][idx]
         n = len(rgb_p)
         sel = self._sample_indices(n)
-        out["depth"] = _decode(self.samples["depth"][idx], sel, "L",
-                               self.spatial)
+        out["depth"] = self._dec(self.samples["depth"][idx], sel, "L")
         if "depth_est" in self.samples:
-            out["depth_est"] = _decode(self.samples["depth_est"][idx], sel,
-                                       "L", self.spatial)
+            out["depth_est"] = self._dec(self.samples["depth_est"][idx],
+                                         sel, "L")
         out["paths"] = [rgb_p[i] for i in sel]
         return out
 

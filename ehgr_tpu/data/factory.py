@@ -88,11 +88,13 @@ def build_train_datasets(cfg: Config, stage: str,
     train_ds = cls(cfg.data.annot_path, train_mode,
                    spatial_transform=train_spatial_transform(cfg),
                    temporal_transform="uniform_train",
-                   clip_len=cfg.data.clip_len, seed=cfg.run.seed)
+                   clip_len=cfg.data.clip_len, seed=cfg.run.seed,
+                   decode_backend=cfg.data.backend)
     val_ds = cls(cfg.data.annot_path, val_mode,
                  spatial_transform=eval_spatial_transform(cfg),
                  temporal_transform="uniform_val",
-                 clip_len=cfg.data.clip_len, seed=cfg.run.seed)
+                 clip_len=cfg.data.clip_len, seed=cfg.run.seed,
+                 decode_backend=cfg.data.backend)
     return train_ds, val_ds
 
 
@@ -110,4 +112,4 @@ def build_test_dataset(cfg: Config, multiple_clip_test: bool = True):
         temporal_transform=("uniform_train" if multiple_clip_test
                             else "uniform_val"),
         clip_len=cfg.data.clip_len, clip_num=cfg.data.clip_num,
-        seed=cfg.run.seed)
+        seed=cfg.run.seed, decode_backend=cfg.data.backend)
