@@ -47,16 +47,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _s_tile(t: int, s: int, c: int, itemsize: int,
-            budget: int = 2 << 20) -> int:
-    """S tile for a ``[1, t, st, c]`` slab: the whole S when it fits
-    ``budget`` (equal-dims rule), else the largest 8-aligned DIVISOR of S
-    that fits (no partial blocks -> no masking), else the largest 8-aligned
-    tile that fits (the grid then uses ``pl.cdiv`` and the final partial
-    block is masked where it matters)."""
-    if t * s * c * itemsize <= budget or s < 8:
+def _s_tile(t: int, s: int, c: int, itemsize: int, out_cols: int,
+            budget: int = 12 << 20) -> int:
+    """S tile for a ``[1, t, st, c]`` slab under the ~16 MB scoped-VMEM
+    limit: the whole S when the estimated footprint fits ``budget``, else
+    the largest 8-aligned DIVISOR of S that fits (no partial blocks -> no
+    masking), else the largest 8-aligned tile that fits (the grid then uses
+    ``pl.cdiv`` and the final partial block is masked where it matters).
+
+    The per-S-row cost model counts what the naive element count misses:
+    double-buffered input, LANE-PADDED outputs (a 1- or 17-column output
+    still occupies 128 lanes), and the f32 matmul intermediate — the
+    C=64 layer1 site otherwise picks a tile whose padded outputs blow the
+    16 MB stack (measured: 18.4 MB at st=1568)."""
+    lane = 128
+    pad_out = (max(out_cols, 1) + lane - 1) // lane * lane
+    per_row = t * (itemsize * (2 * c + 4 * lane + 2 * pad_out)
+                   + 4 * (pad_out + lane))
+    if s * per_row <= budget or s < 8:
         return s
-    cap = max(8, budget // (t * c * itemsize) // 8 * 8)   # multiple of 8
+    cap = max(8, budget // per_row // 8 * 8)              # multiple of 8
     for d in range(cap, 7, -8):
         if s % d == 0:
             return d
@@ -104,8 +114,13 @@ def _stats_kernel(s_total: int, x_ref, w_ref, wp3_ref, mc_ref, pool_ref,
     # matmul column
     x3m = jnp.dot(big, wp3, preferred_element_type=jnp.float32)
     x3m = x3m.reshape(t, st, -1)
-    mc_ref[...] = x3m[None, ..., -1:].astype(mc_ref.dtype)
-    x3_ref[...] = x3m[None, ..., :-1].astype(x3_ref.dtype)
+    # static positive-bound slices: negative/ellipsis indexing lowers as a
+    # gather, which Mosaic rejects beyond 2D
+    cr1 = x3m.shape[-1]
+    mc = jax.lax.slice_in_dim(x3m, cr1 - 1, cr1, axis=2)
+    x3 = jax.lax.slice_in_dim(x3m, 0, cr1 - 1, axis=2)
+    mc_ref[...] = mc[None].astype(mc_ref.dtype)
+    x3_ref[...] = x3[None].astype(x3_ref.dtype)
 
 
 def action_stats(x4: jnp.ndarray, w_shift: jnp.ndarray, w_p3: jnp.ndarray,
@@ -116,7 +131,7 @@ def action_stats(x4: jnp.ndarray, w_shift: jnp.ndarray, w_p3: jnp.ndarray,
     n, t, s, c = x4.shape
     cr = w_p3.shape[-1]
     interpret = interpret or jax.default_backend() == "cpu"
-    st = _s_tile(t, s, c, x4.dtype.itemsize)
+    st = _s_tile(t, s, c, x4.dtype.itemsize, cr + 1)
     # append the channel-mean column so one matmul yields x3 AND mc
     wp3_aug = jnp.concatenate(
         [w_p3, jnp.full((c, 1), 1.0 / c, w_p3.dtype)], axis=1)
@@ -186,7 +201,7 @@ def action_apply(x4: jnp.ndarray, w_shift: jnp.ndarray, g1: jnp.ndarray,
     n, t, s, c = x4.shape
     f = w_net.shape[-1]
     interpret = interpret or jax.default_backend() == "cpu"
-    st = _s_tile(t, s, c, x4.dtype.itemsize)
+    st = _s_tile(t, s, c, x4.dtype.itemsize, f)
 
     def idx(ni, si):
         return (ni, 0, si, 0)
