@@ -63,19 +63,49 @@ class Loader:
         batches = self._batches_of_indices()
         self._epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         sentinel = object()
 
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate(samples))
-            q.put(sentinel)
+            # Worker exceptions are shipped to the consumer and re-raised
+            # there (torch DataLoader semantics); the sentinel ALWAYS
+            # follows, so the consumer can never block forever on a dead
+            # producer.  `stop` is set when the consumer abandons the
+            # iterator early (e.g. max_steps-bounded epochs), so stale
+            # producers exit instead of parking on a full queue.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                idxs))
+                        if not _put(collate(samples)):
+                            return
+            except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+                _put(e)
+            finally:
+                _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

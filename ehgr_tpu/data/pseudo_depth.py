@@ -41,10 +41,19 @@ def generate_pseudo_depth_tree(
     n = 0
     for dirpath, _, files in os.walk(rgb_root):
         jpgs = sorted(f for f in files if f.endswith(".jpg"))
-        if not jpgs or rgb_dirname not in dirpath:
+        rel = os.path.relpath(dirpath, rgb_root)
+        parts = [] if rel == "." else rel.split(os.sep)
+        if not jpgs or rgb_dirname not in parts:
             continue
-        out_dir = dirpath.replace(rgb_dirname, out_dirname).replace(
-            rgb_prefix, out_prefix)
+        # Substitute per path COMPONENT below rgb_root, never on the root
+        # prefix — a raw str.replace corrupts output paths whenever the
+        # root itself contains 'rgb'/'Color' (e.g. pytest tmpdirs named
+        # after an rgb_* test).
+        out_parts = [out_dirname if p == rgb_dirname
+                     else out_prefix + p[len(rgb_prefix):]
+                     if p.startswith(rgb_prefix) else p
+                     for p in parts]
+        out_dir = os.path.join(out_root, *out_parts)
         os.makedirs(out_dir, exist_ok=True)
         for f in jpgs:
             frame = np.asarray(Image.open(os.path.join(dirpath, f))

@@ -104,6 +104,44 @@ class TestLoader:
         b1b = [b["label"] for b in l1]
         assert any(not np.array_equal(a, b) for a, b in zip(b1, b1b))
 
+    def test_worker_exception_propagates_not_hangs(self):
+        """A dataset error must re-raise in the consumer (torch DataLoader
+        semantics) — the round-2 deadlock: a dead producer never delivered
+        its sentinel and the consumer blocked on q.get forever."""
+        class Exploding:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i >= 4:
+                    raise ValueError("boom at index %d" % i)
+                return {"rgb": np.zeros((2, 8, 8, 3), np.uint8),
+                        "label": np.int32(0)}
+
+        loader = Loader(Exploding(), batch_size=2, shuffle=False,
+                        num_workers=2)
+        with pytest.raises(ValueError, match="boom"):
+            list(loader)
+
+    def test_abandoned_iterator_stops_producer(self):
+        """Breaking out of an epoch early (max_steps-bounded loops) must
+        terminate the producer thread instead of leaking it parked on a
+        full queue."""
+        import threading as _th
+        import time as _time
+
+        ds = SyntheticClipSource(n_videos=32, clip_len=2, size=(8, 8),
+                                 num_classes=4)
+        before = _th.active_count()
+        for _ in range(5):
+            for i, _b in enumerate(Loader(ds, 2, num_workers=1)):
+                if i == 1:
+                    break
+        deadline = _time.time() + 5.0
+        while _th.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert _th.active_count() <= before + 1
+
     def test_synthetic_source_fields(self):
         ds = SyntheticClipSource(n_videos=4, clip_len=2, size=(8, 8),
                                  fields=("rgb", "depth", "n_depth"))

@@ -142,6 +142,43 @@ class TestPseudoDepth:
         out = tmp_path / "Subject01" / "Scene1" / "Depth_Est" / "depth_est1"
         assert len(list(out.glob("*.jpg"))) == 3
 
+    def test_root_containing_rgb_substring(self, tmp_path, rng):
+        """Regression: a root whose own path contains 'rgb'/'Color' (e.g. a
+        pytest tmpdir named after an rgb_* test) must not corrupt output
+        paths — substitution is per component below the root."""
+        from PIL import Image
+
+        from ehgr_tpu.data.pseudo_depth import generate_pseudo_depth_tree
+
+        root = tmp_path / "my_rgb_Color_experiment" / "frames"
+        rgb_dir = root / "Subject01" / "Scene1" / "Color" / "rgb1"
+        rgb_dir.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 256, (16, 16, 3),
+                                         dtype=np.uint8)).save(
+                rgb_dir / f"{i:06}.jpg")
+        n = generate_pseudo_depth_tree(str(root), str(root))
+        assert n == 2
+        out = root / "Subject01" / "Scene1" / "Depth_Est" / "depth_est1"
+        assert len(list(out.glob("*.jpg"))) == 2
+
+    def test_separate_out_root(self, tmp_path, rng):
+        """out_root is honored (it was silently ignored before)."""
+        from PIL import Image
+
+        from ehgr_tpu.data.pseudo_depth import generate_pseudo_depth_tree
+
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        rgb_dir = src / "Subject01" / "Scene1" / "Color" / "rgb1"
+        rgb_dir.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3),
+                                     dtype=np.uint8)).save(
+            rgb_dir / "000001.jpg")
+        assert generate_pseudo_depth_tree(str(src), str(dst)) == 1
+        assert (dst / "Subject01" / "Scene1" / "Depth_Est" / "depth_est1"
+                / "000001.jpg").exists()
+
     def test_midas_gated(self):
         from ehgr_tpu.data.pseudo_depth import midas_predictor
 
