@@ -79,6 +79,10 @@ class ModelConfig:
     # ACTION kernel mode at inference: None/'' (XLA) | 'prologue' | 'mega'
     # (the two-sweep Pallas megakernel, ehgr_tpu/ops/pallas/action_mega.py)
     action_fused: Optional[str] = None
+    # int8 MXU inference for backbone convs (ops/quantize.py; eval only,
+    # resnet-only): False | 'dynamic' | 'static' (needs a calibration
+    # pass; see ops/quantize.calibrate).  Measured: docs/PERF.md.
+    quantize: object = False
     # compute dtype for the backbone (params stay f32)
     dtype: str = "bfloat16"
 

@@ -33,6 +33,7 @@ def _build_model(cfg: Config, arch: str):
                     dropout=cfg.model.dropout,
                     partial_bn=cfg.model.partial_bn,
                     action_fused=(cfg.model.action_fused or None),
+                    quantize=getattr(cfg.model, "quantize", False),
                     dtype=jnp.dtype(cfg.model.dtype))
     x0 = jnp.zeros((1, cfg.model.num_segments, cfg.data.crop_size,
                     cfg.data.crop_size, 3), jnp.float32)

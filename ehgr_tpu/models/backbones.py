@@ -20,14 +20,18 @@ ALL_BACKBONES = RESNET_FAMILY + ("mobilenet_v2", "bn_inception")
 def get_backbone(base_model: str, temporal: str, n_segment: int,
                  shift_div: int, partial_bn: bool, dtype: jnp.dtype,
                  remat: bool = False, temporal_pool: bool = False,
-                 action_fused=None, action_stages=(1, 2, 3, 4)):
+                 action_fused=None, action_stages=(1, 2, 3, 4),
+                 quantize: bool = False):
     kw = dict(temporal=temporal, n_segment=n_segment, shift_div=shift_div,
               partial_bn=partial_bn, dtype=dtype, name="base_model")
     if base_model in STAGE_SIZES:
         return ResNetBackbone(stage_sizes=STAGE_SIZES[base_model],
                               remat=remat, temporal_pool=temporal_pool,
                               action_fused=action_fused,
-                              action_stages=tuple(action_stages), **kw)
+                              action_stages=tuple(action_stages),
+                              quantize=quantize, **kw)
+    if quantize:
+        raise ValueError("int8 inference is resnet-only for now")
     if temporal_pool:
         raise ValueError("temporal_pool is resnet-only (as in the reference)")
     if base_model in ("res2net50", "res2net50_26w_4s"):

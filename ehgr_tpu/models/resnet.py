@@ -42,6 +42,10 @@ class Bottleneck(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True        # partial-BN: freeze all non-stem BNs
     action_fused: object = None   # ActionConv kernel mode (None|'mega'|...)
+    # int8 MXU inference for the block convs (ops/quantize.py):
+    # False | True/'dynamic' | 'static' | 'calib'; training always takes
+    # the float path, and the checkpointed params tree never changes
+    quantize: object = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,6 +55,24 @@ class Bottleneck(nn.Module):
         def bn(name):
             return nn.BatchNorm(use_running_average=ura, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
+
+        if self.quantize:
+            from ehgr_tpu.ops.quantize import QuantConv
+
+            # True -> 'dynamic'; 'static'/'calib' pass through.  Training
+            # always takes exact float math; 'calib' stays live at eval so
+            # calibration applies (with mutable=['quant']) can record amax.
+            q = "dynamic" if self.quantize is True else str(self.quantize)
+            qmode = q if (q == "calib" or not train) else "float"
+
+            def conv(feats, k, name, strides=(1, 1), padding="SAME"):
+                return lambda v: QuantConv(
+                    feats, k, strides=strides, padding=padding,
+                    dtype=self.dtype, name=name)(v, mode=qmode)
+        else:
+            def conv(feats, k, name, strides=(1, 1), padding="SAME"):
+                return nn.Conv(feats, k, strides=strides, padding=padding,
+                               use_bias=False, dtype=self.dtype, name=name)
 
         residual = x
         if self.temporal == "action":
@@ -63,23 +85,19 @@ class Bottleneck(nn.Module):
                           shift_div=self.shift_div, dtype=self.dtype,
                           name="conv1")(x, train=train)
         else:
-            out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                          dtype=self.dtype, name="conv1")(x)
+            out = conv(self.planes, (1, 1), "conv1")(x)
         out = nn.relu(bn("bn1")(out))
         # explicit pad=1: torch semantics for stride-2 (SAME pads right-only)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+        out = conv(self.planes, (3, 3), "conv2",
+                   strides=(self.stride, self.stride),
+                   padding=[(1, 1), (1, 1)])(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      dtype=self.dtype, name="conv3")(out)
+        out = conv(self.planes * 4, (1, 1), "conv3")(out)
         out = bn("bn3")(out)
 
         if self.has_downsample:
-            residual = nn.Conv(self.planes * 4, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = conv(self.planes * 4, (1, 1), "downsample_conv",
+                            strides=(self.stride, self.stride))(x)
             residual = bn("downsample_bn")(residual)
         return nn.relu(out + residual)
 
@@ -110,6 +128,10 @@ class ResNetBackbone(nn.Module):
     # stages that receive the temporal module (the ACTION paper's placement
     # accuracy/compute knob; (1,2,3,4) = every stage, the reference default)
     action_stages: Sequence[int] = (1, 2, 3, 4)
+    # int8 MXU inference for block convs (stem/head stay float — standard
+    # quantization practice; see ops/quantize.py):
+    # False | True/'dynamic' | 'static' | 'calib'
+    quantize: object = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,7 +168,7 @@ class ResNetBackbone(nn.Module):
                     planes=p, stride=stride, has_downsample=(j == 0),
                     temporal=temporal, n_segment=seg,
                     shift_div=self.shift_div, bn_frozen=self.partial_bn,
-                    action_fused=self.action_fused,
+                    action_fused=self.action_fused, quantize=self.quantize,
                     dtype=self.dtype, name=f"layer{i}_{j}")(x, train)
             taps[f"layer{i}"] = x
             if self.temporal_pool and i == 2:

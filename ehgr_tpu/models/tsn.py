@@ -73,6 +73,9 @@ class TSN(nn.Module):
     action_fused: Any = None
     # stages carrying the temporal module (ACTION placement ablation knob)
     action_stages: Any = (1, 2, 3, 4)
+    # int8 MXU inference for backbone convs (ops/quantize.py; eval only):
+    # False | True/'dynamic' | 'static' | 'calib'
+    quantize: Any = False
     dtype: Any = jnp.float32
 
     def _consensus(self, logits_nt: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +103,7 @@ class TSN(nn.Module):
             n_segment=self.num_segments, shift_div=self.shift_div,
             partial_bn=self.partial_bn, dtype=self.dtype, remat=self.remat,
             temporal_pool=self.temporal_pool, action_fused=self.action_fused,
-            action_stages=self.action_stages)
+            action_stages=self.action_stages, quantize=self.quantize)
         # Truncated deploy models only trace the stages they keep
         # (models_SD.py:563-565: deeper layers become None).
         max_stage = self.truncate_at if self.truncate_at else 4
@@ -185,14 +188,14 @@ def variant(arch: str, num_class: int, num_segments: int,
             shift_div: int = 8, dropout: float = 0.5,
             partial_bn: bool = True, modal: str = "rgb_depth",
             remat: bool = False, action_fused: Any = None,
-            action_stages: Any = (1, 2, 3, 4),
+            action_stages: Any = (1, 2, 3, 4), quantize: Any = False,
             dtype: Any = jnp.float32) -> TSN:
     """Factory mapping the reference's model files to TSN flags."""
     kw = dict(num_class=num_class, num_segments=num_segments,
               base_model=base_model, temporal=temporal, shift_div=shift_div,
               dropout=dropout, partial_bn=partial_bn, remat=remat,
               action_fused=action_fused, action_stages=tuple(action_stages),
-              dtype=dtype)
+              quantize=quantize, dtype=dtype)
     if arch == "tsn":
         return TSN(**kw)
     if arch == "tsn_mtmm":

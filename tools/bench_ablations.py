@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
     "xla": dict(temporal="action", action_fused=None),
+    # int8 MXU backbone convs (ops/quantize.py); int8 = dynamic scales,
+    # int8s = static calibrated scales (calibrated on the bench input)
+    "int8": dict(temporal="action", action_fused=None, quantize=True),
+    "int8_plain": dict(temporal="none", action_fused=None, quantize=True),
+    "int8_l4": dict(temporal="action", action_stages=(4,), quantize=True),
+    "int8s": dict(temporal="action", action_fused=None, quantize="static"),
+    "int8s_plain": dict(temporal="none", quantize="static"),
+    "int8s_l4": dict(temporal="action", action_stages=(4,),
+                     quantize="static"),
     "prologue": dict(temporal="action", action_fused="prologue"),
     "mega": dict(temporal="action", action_fused="mega"),
     "plain": dict(temporal="none", action_fused=None),
@@ -54,6 +63,19 @@ def bench_one(name: str, batch: int = BATCH, warmup: int = 3,
     variables = jax.block_until_ready(init_fn(
         {"params": jax.random.key(0)},
         normalize_clip(x0, dtype=jnp.bfloat16)))
+    if cfg.get("quantize") == "static":
+        # one-batch activation-scale calibration (ops/quantize.calibrate)
+        from ehgr_tpu.ops.quantize import calibrate
+        calib = variant("tsn", num_class=83, num_segments=T,
+                        base_model="resnet50", partial_bn=False,
+                        dtype=jnp.bfloat16,
+                        **{**cfg, "quantize": "calib"})
+        cal_rng = np.random.default_rng(7)
+        xb = normalize_clip(jnp.asarray(
+            cal_rng.integers(0, 256, (32, T, HW, HW, 3)), jnp.uint8),
+            dtype=jnp.bfloat16)
+        variables = jax.block_until_ready(
+            calibrate(calib, variables, [xb]))
 
     @jax.jit
     def score(frames_u8):
