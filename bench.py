@@ -129,6 +129,27 @@ def main():
         jax, jnp, model, variables, normalize_clip, T, HW)
     train_cps = _bench_train(jax, jnp, T, HW)
 
+    # int8 static-calibrated inference (ops/quantize.py; batch 256 — the
+    # int8 sweet spot, 384 exceeds HBM with float+int8 copies at peak)
+    from ehgr_tpu.ops.quantize import calibrate
+    qmodel = variant("tsn", num_class=83, num_segments=T,
+                     base_model="resnet50", temporal="action",
+                     partial_bn=False, quantize="static",
+                     dtype=jnp.bfloat16)
+    qcal = variant("tsn", num_class=83, num_segments=T,
+                   base_model="resnet50", temporal="action",
+                   partial_bn=False, quantize="calib", dtype=jnp.bfloat16)
+    qv = jax.jit(lambda r, x: qmodel.init(r, x, train=False))(
+        {"params": jax.random.key(0)},
+        normalize_clip(jnp.zeros((2, T, HW, HW, 3), jnp.uint8),
+                       dtype=jnp.bfloat16))
+    qrng = np.random.default_rng(7)
+    qv = calibrate(qcal, qv, [normalize_clip(jnp.asarray(
+        qrng.integers(0, 256, (32, T, HW, HW, 3)), jnp.uint8),
+        dtype=jnp.bfloat16)])
+    int8_cps, _ = _bench_inference(
+        jax, jnp, qmodel, qv, normalize_clip, 256, T, HW)
+
     baseline = 15.0  # reference ~15 clips/s (BASELINE.md train-step rate)
     print(json.dumps({
         "metric": "clips/sec/chip, 8-frame 224^2 inference, "
@@ -141,6 +162,7 @@ def main():
         "p99_clip_latency_ms": round(p99, 2),
         "train_clips_per_sec": round(train_cps, 2),
         "train_vs_baseline": round(train_cps / baseline, 2),
+        "int8_static_clips_per_sec": round(int8_cps, 2),
     }))
 
 
