@@ -38,11 +38,12 @@ def _bench_inference(jax, jnp, model, variables, normalize_clip,
     frames = jnp.asarray(
         rng.integers(0, 256, (batch, t, hw, hw, 3)), jnp.uint8)
     for _ in range(warmup):
-        score(frames).block_until_ready()
+        float(jnp.sum(score(frames)))    # hard sync: block_until_ready can
+    #                                      return early through the tunnel
     # throughput: pipelined dispatch (async jax dispatch overlaps host/device)
     t0 = time.perf_counter()
     outs = [score(frames) for _ in range(iters)]
-    outs[-1].block_until_ready()
+    float(jnp.sum(outs[-1]))             # scalar fetch = real barrier
     dt = time.perf_counter() - t0
     return batch * iters / dt, score
 
@@ -57,11 +58,11 @@ def _bench_latency(jax, jnp, model, variables, normalize_clip, t, hw,
     rng = np.random.default_rng(1)
     clip = jnp.asarray(rng.integers(0, 256, (1, t, hw, hw, 3)), jnp.uint8)
     for _ in range(warmup):
-        score_one(clip).block_until_ready()
+        np.asarray(score_one(clip))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        score_one(clip).block_until_ready()
+        np.asarray(score_one(clip))      # materialize = client-observed
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(times, 50)), float(np.percentile(times, 99))
 
@@ -95,11 +96,11 @@ def _bench_train(jax, jnp, t, hw, batch=32, warmup=2, iters=6):
     key = jax.random.key(0)
     for _ in range(warmup):
         state, m = step(state, b, key)
-    jax.block_until_ready(state.params)
+    float(m["loss"])                     # hard sync (see inference note)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, b, key)
-    jax.block_until_ready(state.params)
+    float(m["loss"])
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
