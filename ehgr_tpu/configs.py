@@ -83,6 +83,9 @@ class ModelConfig:
     # resnet-only): False | 'dynamic' | 'static' (needs a calibration
     # pass; see ops/quantize.calibrate).  Measured: docs/PERF.md.
     quantize: object = False
+    # ACTION placement (the paper's accuracy/compute knob; measured
+    # docs/PERF.md: (4,) 2.7x, (3,4) 1.8x inference vs full placement)
+    action_stages: Tuple[int, ...] = (1, 2, 3, 4)
     # compute dtype for the backbone (params stay f32)
     dtype: str = "bfloat16"
 
@@ -240,6 +243,18 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
     p.add_argument("--scale_size", type=int, default=None)
     p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--train_crop_size", type=int, default=None)
+    # round-2 performance knobs (docs/PERF.md)
+    p.add_argument("--backend", default=None,
+                   choices=["pil", "native", "native_fast"],
+                   help="host decode path (native = C++ fused decoder)")
+    p.add_argument("--action_fused", default=None,
+                   choices=["prologue", "mega"],
+                   help="ACTION Pallas kernel mode at inference")
+    p.add_argument("--action_stages", type=int, nargs="+", default=None,
+                   help="stages carrying ACTION (placement ablation)")
+    p.add_argument("--quantize", default=None,
+                   choices=["dynamic", "static"],
+                   help="int8 MXU inference for backbone convs")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -253,12 +268,15 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
             clip_len=args.clip_len, batch_size=args.batch_size,
             clip_num=args.clip_num, test_crops=args.test_crops,
             scale_size=args.scale_size, crop_size=args.crop_size,
-            train_crop_size=args.train_crop_size)
+            train_crop_size=args.train_crop_size, backend=args.backend)
     if args.synthetic:
         d = replace(d, backend="synthetic")
     m = upd(m, base_model=args.base_model, shift_div=args.shift_div,
             modal=args.modal, dropout=args.dropout,
-            num_segments=args.clip_len)
+            num_segments=args.clip_len, action_fused=args.action_fused,
+            quantize=args.quantize,
+            action_stages=(tuple(args.action_stages)
+                           if args.action_stages else None))
     o = upd(o, lr=args.lr, weight_decay=args.wd, epochs=args.epochs,
             lr_steps=tuple(args.lr_steps) if args.lr_steps else None,
             ema_decay=args.ema_decay)

@@ -34,6 +34,8 @@ def _build_model(cfg: Config, arch: str):
                     partial_bn=cfg.model.partial_bn,
                     action_fused=(cfg.model.action_fused or None),
                     quantize=getattr(cfg.model, "quantize", False),
+                    action_stages=tuple(getattr(cfg.model, "action_stages",
+                                                (1, 2, 3, 4))),
                     dtype=jnp.dtype(cfg.model.dtype))
     x0 = jnp.zeros((1, cfg.model.num_segments, cfg.data.crop_size,
                     cfg.data.crop_size, 3), jnp.float32)
@@ -41,6 +43,22 @@ def _build_model(cfg: Config, arch: str):
     variables = init_fn({"params": jax.random.key(0)}, x0)
     if cfg.run.checkpoint_path:
         variables = load_for_model(cfg.run.checkpoint_path, variables)
+    if getattr(cfg.model, "quantize", False) == "static":
+        # static int8 needs per-site activation scales: calibrate on random
+        # protocol-shaped batches here; for accuracy-faithful scales pass
+        # real clips through ops.quantize.calibrate before run_test.
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from ehgr_tpu.ops.quantize import calibrate
+
+        rng = _np.random.default_rng(cfg.run.seed)
+        xb = jnp.asarray(rng.standard_normal(
+            (8, cfg.model.num_segments, cfg.data.crop_size,
+             cfg.data.crop_size, 3)), jnp.float32)
+        cmodel = _dc.replace(model, quantize="calib")
+        variables = calibrate(cmodel, variables, [xb])
     return model, variables
 
 

@@ -31,7 +31,13 @@ def build_model(m: ModelConfig):
                     shift_div=m.shift_div, dropout=m.dropout,
                     partial_bn=m.partial_bn, modal=m.modal,
                     remat=getattr(m, "remat", False),
-                    action_fused=(m.action_fused or None), dtype=dtype)
+                    action_fused=(m.action_fused or None),
+                    action_stages=tuple(getattr(m, "action_stages",
+                                                (1, 2, 3, 4))),
+                    dtype=dtype)
+    # (quantize is deliberately NOT passed here: build_model serves the
+    # trainers, and int8 inference is eval-only — the eval runner's
+    # _build_model applies it, with calibration.  ops/quantize.py.)
     if m.temporal_pool or not m.before_softmax:
         import dataclasses as _dc
         model = _dc.replace(model, temporal_pool=m.temporal_pool,
