@@ -76,6 +76,11 @@ class Bottleneck(nn.Module):
 
         residual = x
         if self.temporal == "action":
+            # ACTION's wrapped 1x1 deliberately stays FLOAT even under
+            # quantize='static': measured 474 -> 329 clips/s when int8 —
+            # the quantize of `gated` breaks XLA's fusion of the gated sum
+            # into the matmul operand (docs/PERF.md).  ActionConv keeps the
+            # capability as an explicit opt-in for future re-measurement.
             out = ActionConv(self.planes, n_segment=self.n_segment,
                              shift_div=self.shift_div, bn_frozen=self.bn_frozen,
                              fused=self.action_fused,

@@ -69,6 +69,10 @@ class ActionConv(nn.Module):
     #                           gates/gated-sum/wrapped-conv sweep; x_shift
     #                           never touches HBM (ops/pallas/action_mega.py)
     fused: object = None
+    # int8 MXU path for the wrapped 1x1 conv (ops/quantize.py semantics):
+    # False | 'static' | 'calib'.  Gate math stays float (parity-sensitive
+    # sigmoids); eval-only — training and the mega path ignore it.
+    quantize: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -181,6 +185,31 @@ class ActionConv(nn.Module):
 
         if self.features == 0:     # gate-only mode (ActionGate)
             return gated
+        qmode = self.quantize if (self.quantize in ("static", "calib")
+                                  and not train) else None
+        if qmode:
+            from ehgr_tpu.ops.quantize import (quantize_activation,
+                                               quantize_weight)
+
+            act_scale = self.variable("quant", "act_scale",
+                                      lambda: jnp.zeros((), jnp.float32))
+            if qmode == "calib":
+                if not self.is_initializing() and \
+                        self.is_mutable_collection("quant"):
+                    amax = jnp.max(jnp.abs(gated.astype(jnp.float32)))
+                    act_scale.value = jnp.maximum(act_scale.value,
+                                                  amax / 127.0)
+            else:                               # static int8 MXU matmul
+                wq, ws = quantize_weight(w_net[0, 0][None, None])
+                xs = jnp.maximum(act_scale.value, 1e-12)
+                xq = jnp.clip(jnp.round(
+                    gated.reshape(-1, c).astype(jnp.float32) / xs),
+                    -127, 127).astype(jnp.int8)
+                out = jnp.dot(xq, wq[0, 0],
+                              preferred_element_type=jnp.int32)
+                out = (out.astype(jnp.float32) * (xs * ws))
+                return out.reshape(nt, h, w,
+                                   self.features).astype(self.dtype)
         out = jnp.dot(gated.reshape(-1, c), w_net[0, 0].astype(self.dtype),
                       preferred_element_type=jnp.float32)
         return out.reshape(nt, h, w, self.features).astype(self.dtype)

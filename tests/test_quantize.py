@@ -94,6 +94,51 @@ class TestQuantizedTSN:
                                     * np.linalg.norm(want) + 1e-9)
         assert cos > 0.98, cos
 
+    def test_static_tsn_calibrates_and_stays_close(self, rng):
+        """quantize='static' end to end: calib records a scale for every
+        QuantConv site (36 = 52 block convs minus the 16 ACTION conv1s,
+        whose wrapped 1x1 stays float by default — int8 there measured
+        474->329 clips/s, docs/PERF.md), and calibrated static logits stay
+        close to float."""
+        x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)), jnp.float32)
+        kw = dict(num_class=7, num_segments=4, base_model="resnet50",
+                  temporal="action", partial_bn=False, dropout=0.0)
+        base = variant("tsn", **kw)
+        calib = variant("tsn", quantize="calib", **kw)
+        static = variant("tsn", quantize="static", **kw)
+        v = calib.init(jax.random.key(0), x, train=False)
+        n_sites = len(jax.tree_util.tree_leaves(v["quant"]))
+        assert n_sites == 36, n_sites
+        _, upd = calib.apply(v, x, train=False, mutable=["quant"])
+        v = {**v, "quant": upd["quant"]}
+        assert all(float(s) > 0 for s in
+                   jax.tree_util.tree_leaves(v["quant"]))
+        want = np.asarray(base.apply(
+            {k: v[k] for k in ("params", "batch_stats")}, x, train=False),
+            np.float32)
+        got = np.asarray(static.apply(v, x, train=False), np.float32)
+        cos = (got * want).sum() / (np.linalg.norm(got)
+                                    * np.linalg.norm(want) + 1e-9)
+        assert cos > 0.98, cos
+
+    def test_action_wrapped_conv_int8_optin(self, rng):
+        """The ActionConv-level int8 path (explicit opt-in only) stays
+        numerically close after calibration."""
+        from ehgr_tpu.ops.action import ActionConv
+
+        x = jnp.asarray(rng.standard_normal((8, 8, 8, 32)), jnp.float32)
+        base = ActionConv(16, n_segment=4)
+        calib = ActionConv(16, n_segment=4, quantize="calib")
+        static = ActionConv(16, n_segment=4, quantize="static")
+        v = calib.init(jax.random.key(0), x, train=False)
+        _, upd = calib.apply(v, x, train=False, mutable=["quant"])
+        v = {**v, "quant": upd["quant"]}
+        want = np.asarray(base.apply(
+            {k: v[k] for k in v if k != "quant"}, x, train=False))
+        got = np.asarray(static.apply(v, x, train=False))
+        err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert err < 0.05, err
+
     def test_train_path_is_exact_float(self, rng):
         """train=True through the quantized model == the base model (the
         int8 path is inference-only)."""
