@@ -22,6 +22,8 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.ops.action import ActionGate
 from ehgr_tpu.ops.temporal_shift import temporal_shift
 
@@ -78,7 +80,7 @@ class _ConvBnRelu(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], use_bias=True,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -133,7 +135,6 @@ class BNInceptionBackbone(nn.Module):
         x = _ConvBnRelu(64, 7, 2, dtype=self.dtype, name="conv1")(
             x, train=train)
         x = _max_pool_ceil(x)
-        x = self._gate(x, "shift_2", train)
         x = _ConvBnRelu(64, 1, 1, dtype=self.dtype, name="conv2_reduce")(
             x, train=train)
         x = _ConvBnRelu(192, 3, 1, dtype=self.dtype, name="conv2")(
@@ -141,10 +142,16 @@ class BNInceptionBackbone(nn.Module):
         x = _max_pool_ceil(x)
 
         taps: Dict[str, jnp.ndarray] = {"stem": x}
-        gate_from = 1  # gates start at block 3b's entry (shift_3a..)
+        # Reference placement (bn_inception_action.py:154-167,178-199): each
+        # wrapper gates the PREVIOUS block's output — i.e. every inception
+        # block's input, named after the producer: shift_2 gates 3a's input
+        # (block-2 output, 192ch), shift_3a gates 3b's input, ... shift_5a
+        # gates 5b's input.  Parity-pinned by test_reference_parity.
+        gate_names = ("shift_2", "shift_3a", "shift_3b", "shift_3c",
+                      "shift_4a", "shift_4b", "shift_4c", "shift_4d",
+                      "shift_4e", "shift_5a")
         for i, (bname, spec) in enumerate(_BLOCKS):
-            if i >= gate_from:
-                x = self._gate(x, f"shift_{bname}", train)
+            x = self._gate(x, gate_names[i], train)
             x = InceptionBlock(spec, dtype=self.dtype,
                                name=f"inception_{bname}")(x, train=train)
         taps["final"] = x

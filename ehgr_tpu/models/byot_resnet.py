@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.models.decoders import SepConv
 from ehgr_tpu.models.resnet import Bottleneck
 
@@ -38,7 +40,7 @@ class _Attention(nn.Module):
     def __call__(self, x, train=False):
         c = x.shape[-1]
         h = SepConv(c, dtype=self.dtype, name="sep")(x, train=train)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(h)
         h = nn.relu(h)
         h = _upsample2x_bilinear(h)
@@ -57,7 +59,7 @@ class BYOTResNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -21,6 +21,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 
 def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor x2 on [NT, H, W, C] (nn.Upsample(scale_factor=2))."""
@@ -40,14 +42,14 @@ class GlobalDepthDecoder(nn.Module):
         for i, w in enumerate(widths):
             x = nn.Conv(w, (3, 3), use_bias=False, padding="SAME",
                         dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{i}")(x)
             x = nn.relu(x)
             x = _upsample2x_nearest(x)
         x = nn.Conv(32, (3, 3), use_bias=False, padding="SAME",
                     dtype=self.dtype, name="conv3")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn3")(x)
         x = nn.relu(x)
         x = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
@@ -73,7 +75,7 @@ class TransposedDecoder(nn.Module):
                                  padding="SAME", use_bias=True,
                                  transpose_kernel=True, dtype=self.dtype,
                                  name=f"ct{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"ctbn{i}")(x)
         x = nn.ConvTranspose(self.out_features, (4, 4), strides=(2, 2),
@@ -96,7 +98,7 @@ class TextEncoder(nn.Module):
         t = x.shape[1]
         x = nn.Conv(self.features, (t,), padding="VALID", use_bias=True,
                     dtype=self.dtype, name="conv")(x)       # [N, 1, 512]
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return x[:, 0, :]
 
@@ -118,14 +120,14 @@ class SepConv(nn.Module):
                     use_bias=False, dtype=self.dtype, name="dw1")(x)
         x = nn.Conv(c_in, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pw1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(c_in, (3, 3), padding="SAME", feature_group_count=c_in,
                     use_bias=False, dtype=self.dtype, name="dw2")(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pw2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         return nn.relu(x)
 

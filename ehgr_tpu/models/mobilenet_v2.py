@@ -18,6 +18,8 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.ops.action import ActionConv
 
 # t (expand), c (out), n (repeat), s (stride) — mobilenet_v2.py:77-85
@@ -44,7 +46,7 @@ class _ConvBN(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=False,
                     dtype=self.dtype, name="c0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="c1")(x)
         return _relu6(x)
 
@@ -65,7 +67,7 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and c_in == self.features
 
         def bn(i):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype,
                                 name=f"conv_{i}")
 

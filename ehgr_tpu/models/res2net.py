@@ -22,6 +22,8 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.ops.action import ActionConv, TSMConv
 
 
@@ -50,7 +52,7 @@ class Bottle2neck(nn.Module):
         ws = width * self.scale
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
 
         residual = x
@@ -113,7 +115,7 @@ class Res2NetBackbone(nn.Module):
                  max_stage: int = 4) -> Dict[str, jnp.ndarray]:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

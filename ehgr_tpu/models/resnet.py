@@ -23,6 +23,8 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.ops.action import ActionConv, TSMConv
 
 STAGE_SIZES = {
@@ -53,7 +55,7 @@ class Bottleneck(nn.Module):
         ura = (not train) or self.bn_frozen
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=ura, momentum=0.9,
+            return BatchNorm(use_running_average=ura, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
 
         if self.quantize:
@@ -65,10 +67,13 @@ class Bottleneck(nn.Module):
             q = "dynamic" if self.quantize is True else str(self.quantize)
             qmode = q if (q == "calib" or not train) else "float"
 
+            declare = q in ("static", "calib")
+
             def conv(feats, k, name, strides=(1, 1), padding="SAME"):
                 return lambda v: QuantConv(
                     feats, k, strides=strides, padding=padding,
-                    dtype=self.dtype, name=name)(v, mode=qmode)
+                    dtype=self.dtype, name=name)(
+                        v, mode=qmode, declare_scale=declare)
         else:
             def conv(feats, k, name, strides=(1, 1), padding="SAME"):
                 return nn.Conv(feats, k, strides=strides, padding=padding,
@@ -146,7 +151,7 @@ class ResNetBackbone(nn.Module):
         # (models_MTMM.py:159-175)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

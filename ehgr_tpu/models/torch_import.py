@@ -90,6 +90,10 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
         elif p.startswith("layer") and "_" in p:
             stage, block = p[5:].split("_")
             out.extend([f"layer{stage}", block])
+        elif p.split("_")[0] in ("convs", "bns") and "_" in p:
+            # Res2Net width-slice ModuleLists (archs/res2net.py:50-51)
+            base, idx = p.rsplit("_", 1)
+            out.extend([base, idx])
         elif p == "downsample_conv":
             out.extend(["downsample", "0"])
         elif p == "downsample_bn":
@@ -199,7 +203,14 @@ def convert_state_dict(state_dict: Mapping[str, Any],
             raise ValueError(
                 f"shape mismatch for {key}: torch {conv.shape} vs flax "
                 f"{np.shape(leaf)} at {path}")
-        out[path] = jnp.asarray(conv, dtype=jnp.asarray(leaf).dtype)
+        # Explicit copy: on the CPU backend ``jnp.asarray`` zero-copies
+        # aligned contiguous numpy buffers, and non-transposed leaves
+        # (biases, BN stats) are views into the LIVE torch tensors — a later
+        # in-place ``optimizer.step()`` on the torch side would silently
+        # mutate the converted jax params (found by the trajectory-parity
+        # lockstep test).
+        out[path] = jnp.asarray(np.array(conv, copy=True),
+                                dtype=jnp.asarray(leaf).dtype)
     if strict and missing:
         raise KeyError(f"missing torch keys for: {missing[:10]} "
                        f"(+{max(0, len(missing) - 10)} more)")

@@ -24,9 +24,11 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 
 def _bn(dtype, name, train):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    return BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
 
 

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ehgr_tpu.models.norm import BatchNorm
+
 from ehgr_tpu.ops.temporal_shift import learnable_shift, tsm_shift_init
 
 
@@ -151,7 +153,7 @@ class ActionConv(nn.Module):
         g2 = nn.sigmoid(p2)                                   # [N,T,C]
 
         # (4) ME — motion excitation (ref :51-58, 98-113); consumes x_shift
-        x3 = nn.BatchNorm(use_running_average=(not train) or self.bn_frozen,
+        x3 = BatchNorm(use_running_average=(not train) or self.bn_frozen,
                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                           name="p3_bn1")(x3)
         x3c = nn.Conv(reduced, (3, 3), use_bias=False, padding="SAME",

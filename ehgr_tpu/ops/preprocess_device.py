@@ -77,9 +77,38 @@ def preprocess_eval_batch(frames_u8: jnp.ndarray, *, scale_size: int = 224,
     return normalize_clip(x, dtype=dtype)
 
 
+def bilinear_resize_torch(x: jnp.ndarray, out_h: int,
+                          out_w: int) -> jnp.ndarray:
+    """``F.interpolate(mode='bilinear', align_corners=False)`` equivalent for
+    float ``[..., H, W, C]``: half-pixel source centers, fixed 2-tap triangle
+    kernel, NO antialiasing on downsample.  ``jax.image.resize`` always
+    antialiases when shrinking, so it diverges from the reference's depth
+    target math (``train_mtmm.py:226-229``) at the 224->56 downsample; this
+    gather-based version is bit-faithful to torch's algorithm."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def axis(n_in: int, n_out: int):
+        i = jnp.arange(n_out, dtype=jnp.float32)
+        src = jnp.clip((i + 0.5) * (n_in / n_out) - 0.5, 0.0, n_in - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        return lo, hi, src - lo.astype(jnp.float32)
+
+    ly, hy, fy = axis(h, out_h)
+    lx, hx, fx = axis(w, out_w)
+    fy = fy[:, None, None]
+    top = jnp.take(x, ly, axis=-3) * (1.0 - fy) \
+        + jnp.take(x, hy, axis=-3) * fy
+    fx = fx[:, None]
+    return jnp.take(top, lx, axis=-2) * (1.0 - fx) \
+        + jnp.take(top, hx, axis=-2) * fx
+
+
 def depth_to_target(depth_u8: jnp.ndarray, size: int = 56) -> jnp.ndarray:
     """uint8 depth ``[N, T, H, W, 1]`` -> float [0,1] targets resized to
-    ``size``x``size`` (``train_mtmm.py:226-229``: bilinear to 56x56)."""
+    ``size``x``size`` (``train_mtmm.py:226-229``: non-antialiased bilinear
+    to 56x56, torch-interpolate semantics)."""
     x = depth_u8.astype(jnp.float32) / 255.0
-    out_shape = x.shape[:-3] + (size, size, x.shape[-1])
-    return jax.image.resize(x, out_shape, method="bilinear")
+    if x.shape[-3] == size and x.shape[-2] == size:
+        return x
+    return bilinear_resize_torch(x, size, size)

@@ -116,7 +116,14 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
     def update(grads, state, params=None):
         assert params is not None
         epoch = state.step // steps_per_epoch
-        factor = step_decay_factor(epoch, lr_steps, gamma)
+        # The reference calls ``adjust_learning_rate(…, epoch, lr_steps)`` at
+        # the END of each epoch (train_mtmm.py:612-613), so the decay computed
+        # from epoch e first applies during epoch e+1: with lr_steps=[10,…]
+        # epoch 10 still trains at full lr and epoch 11 is the first decayed
+        # one (verified against runs/EgoGesture/MTMM/…/train.log epochs
+        # 10→11: 0.00125→0.00013).  Hence the factor for the CURRENT epoch
+        # is the utils.py:39-46 formula evaluated at epoch-1.
+        factor = step_decay_factor(epoch - 1, lr_steps, gamma)
 
         new_buf = jax.tree.map(
             lambda g, p, buf, dm: momentum * buf + g + weight_decay * dm * p,

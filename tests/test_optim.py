@@ -132,3 +132,24 @@ class TestSchedule:
         np.testing.assert_allclose(f(10), 0.1)
         np.testing.assert_allclose(f(15), 0.01, rtol=1e-6)
         np.testing.assert_allclose(f(24), 0.001, rtol=1e-6)
+
+    def test_end_of_epoch_decay_composition(self, rng):
+        """The reference adjusts the LR at the END of each epoch
+        (train_mtmm.py:612-613), so with lr_steps=[2] epoch 2 still trains
+        at full lr and epoch 3 is the first decayed one (verified vs the
+        reference run log: epoch 10 @ 0.00125, epoch 11 @ 0.00013 with
+        lr_steps=[10,15,20]).  The factor actually applied per step must
+        reflect that."""
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        labels = {"w": "normal_weight"}
+        base_lr = 1.0
+        tx = sgd_policies(labels, base_lr, momentum=0.0, weight_decay=0.0,
+                          lr_steps=(2,), steps_per_epoch=1)
+        state = tx.init(params)
+        grads = {"w": jnp.ones((3,), jnp.float32)}
+        applied = []
+        cur = params
+        for _ in range(4):                      # epochs 0..3 (1 step each)
+            updates, state = tx.update(grads, state, cur)
+            applied.append(float(-updates["w"][0]))   # = lr used this epoch
+        np.testing.assert_allclose(applied, [1.0, 1.0, 1.0, 0.1], rtol=1e-6)

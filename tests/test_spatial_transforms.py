@@ -163,6 +163,28 @@ class TestDevicePreprocess:
         assert out.shape == (1, 2, 56, 56, 1)
         np.testing.assert_allclose(np.asarray(out), 128 / 255.0, rtol=1e-6)
 
+    def test_depth_target_matches_torch_interpolate(self):
+        """The reference resizes the depth GT with F.interpolate bilinear
+        (no antialias, align_corners=False, train_mtmm.py:226-229); our
+        device-side target must match it elementwise, both down- and
+        up-sampling."""
+        import torch
+        import torch.nn.functional as F
+        import jax.numpy as jnp
+        from ehgr_tpu.ops import preprocess_device as pd
+
+        gen = np.random.default_rng(7)
+        for h, size in ((224, 56), (64, 16), (14, 56)):
+            d = gen.integers(0, 256, (2, 3, h, h, 1), dtype=np.uint8)
+            got = np.asarray(pd.depth_to_target(jnp.asarray(d), size=size))
+            t = torch.from_numpy(
+                d.astype(np.float32) / 255.0).permute(0, 1, 4, 2, 3)
+            want = F.interpolate(t.reshape(6, 1, h, h), size=(size, size),
+                                 mode="bilinear")
+            want = want.reshape(2, 3, 1, size, size).permute(0, 1, 3, 4, 2)
+            np.testing.assert_allclose(got, want.numpy(), rtol=1e-5,
+                                       atol=1e-6, err_msg=f"{h}->{size}")
+
 
 class TestRandomSizedCropAndRotate:
     def test_random_sized_crop(self):
