@@ -30,6 +30,26 @@ from ehgr_tpu.data.annotations import load_annotations
 from ehgr_tpu.ops import temporal_transforms as tt
 
 
+def _transform_rngs(transform) -> list:
+    """Collect the distinct np.random.Generator streams a group-transform
+    chain draws from (Compose children, nested scale workers)."""
+    rngs, seen = [], set()
+
+    def walk(t):
+        if t is None or id(t) in seen:
+            return
+        seen.add(id(t))
+        r = getattr(t, "rng", None)
+        if r is not None and all(r is not x for x in rngs):
+            rngs.append(r)
+        for sub in getattr(t, "transforms", None) or []:
+            walk(sub)
+        walk(getattr(t, "scale_worker", None))
+
+    walk(transform)
+    return rngs
+
+
 def _decode(paths: Sequence[str], indices: np.ndarray, mode: str,
             spatial: Optional[Callable],
             backend: str = "pil") -> np.ndarray:
@@ -44,12 +64,20 @@ def _decode(paths: Sequence[str], indices: np.ndarray, mode: str,
     on downscale, not bit-identical to PIL)."""
     if backend in ("native", "native_fast"):
         from ehgr_tpu.data import native_io
+
+        # Snapshot the transform rng streams: the native planner consumes
+        # them before any pixel is decoded, so a decode failure falling back
+        # to PIL would otherwise draw twice and break seeded cross-backend
+        # reproducibility for every later sample (ADVICE r2 #3).
+        rngs = _transform_rngs(spatial)
+        states = [r.bit_generator.state for r in rngs]
         try:
             return native_io.decode_clip(list(paths), np.asarray(indices),
                                          mode, spatial,
                                          fast=(backend == "native_fast"))
         except (native_io.UnsupportedChain, IOError, RuntimeError):
-            pass
+            for r, s in zip(rngs, states):
+                r.bit_generator.state = s
     imgs = [Image.open(paths[i]).convert(mode) for i in indices]
     if spatial is not None:
         imgs = spatial(imgs)

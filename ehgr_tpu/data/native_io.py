@@ -145,7 +145,7 @@ def _scale_target(size, im_w: int, im_h: int) -> Tuple[int, int]:
     return int(size[0]), int(size[1])
 
 
-def plan_clip(transform, im_w: int, im_h: int):
+def plan_clip(transform, im_w: int, im_h: int, mode: str = "RGB"):
     """Resolve a transform chain into native-decoder geometry.
 
     Consumes the chain's rng streams exactly as its PIL ``__call__`` would,
@@ -207,6 +207,13 @@ def plan_clip(transform, im_w: int, im_h: int):
                 offsets = [(0, 2 * hs), (4 * ws, 2 * hs), (2 * ws, 2 * hs)]
             else:
                 offsets = st.fill_fix_offset(False, cur_w, cur_h, cw, ch)
+            if t.flip and mode == "L":
+                # PIL GroupOverSample/GroupFullResSample invert flipped
+                # grayscale crops at even frame indices (ImageOps.invert,
+                # the torchvision Flow convention) — the native path emits
+                # plain flips, which would break the bit-exact contract
+                # (ADVICE r2 #2; dormant: the factory builds flip=False)
+                raise UnsupportedChain("flip+L multi-crop (Flow inversion)")
             for ox, oy in offsets:
                 rects.append((ox, oy, cw, ch))
                 flips.append(0)
@@ -242,7 +249,7 @@ def decode_clip(paths: Sequence[str], indices: np.ndarray, mode: str,
     im_w, im_h = image_size(sel[0])
     sw, sh, rects, flips, ow, oh = plan_clip(
         transform if transform is not None else st.IdentityTransform(),
-        im_w, im_h)
+        im_w, im_h, mode=mode)
     k, t = len(rects), len(sel)
     c = 1 if mode == "L" else 3
     out = np.empty((k, t, oh, ow, c), np.uint8)

@@ -23,7 +23,7 @@ from ehgr_tpu.ops.preprocess_device import normalize_clip
 from ehgr_tpu.train.checkpoints import load_for_model
 
 
-def _build_model(cfg: Config, arch: str):
+def _build_model(cfg: Config, arch: str, calib_batches=None):
     model = variant(arch, num_class=cfg.model.num_classes,
                     num_segments=cfg.model.num_segments,
                     base_model=cfg.model.base_model,
@@ -44,21 +44,30 @@ def _build_model(cfg: Config, arch: str):
     if cfg.run.checkpoint_path:
         variables = load_for_model(cfg.run.checkpoint_path, variables)
     if getattr(cfg.model, "quantize", False) == "static":
-        # static int8 needs per-site activation scales: calibrate on random
-        # protocol-shaped batches here; for accuracy-faithful scales pass
-        # real clips through ops.quantize.calibrate before run_test.
+        # static int8 needs per-site activation scales.  Calibrate on REAL
+        # eval clips when the caller provides them (run_test feeds the first
+        # batches of the actual test loader — deep-layer activation ranges
+        # under real data differ from noise, ADVICE r2 #1); random
+        # protocol-shaped batches are only the no-dataset fallback.
         import dataclasses as _dc
 
         import numpy as _np
 
         from ehgr_tpu.ops.quantize import calibrate
 
-        rng = _np.random.default_rng(cfg.run.seed)
-        xb = jnp.asarray(rng.standard_normal(
-            (8, cfg.model.num_segments, cfg.data.crop_size,
-             cfg.data.crop_size, 3)), jnp.float32)
+        if calib_batches:
+            xs = [normalize_clip(jnp.asarray(b), cfg.data.mean, cfg.data.std,
+                                 dtype=jnp.float32) for b in calib_batches]
+        else:
+            logging.getLogger(__name__).warning(
+                "int8 static: no calibration clips provided — scales are "
+                "noise-calibrated; accuracy may degrade")
+            rng = _np.random.default_rng(cfg.run.seed)
+            xs = [jnp.asarray(rng.standard_normal(
+                (8, cfg.model.num_segments, cfg.data.crop_size,
+                 cfg.data.crop_size, 3)), jnp.float32)]
         cmodel = _dc.replace(model, quantize="calib")
-        variables = calibrate(cmodel, variables, [xb])
+        variables = calibrate(cmodel, variables, xs)
     return model, variables
 
 
@@ -67,8 +76,26 @@ def run_test(cfg: Config, arch: str = "tsn",
     """Evaluate ``arch`` with the multi-clip protocol.  ``heads=4`` scores
     the SD model's final + three exits (``test_sd.py`` behavior)."""
     log = logging.getLogger(__name__)
-    model, variables = _build_model(cfg, arch)
     dataset = build_test_dataset(cfg)
+
+    calib_batches = None
+    if getattr(cfg.model, "quantize", False) == "static":
+        # first 2 loader batches, clip-flattened to [N, T, H, W, C] uint8 —
+        # the same pixels the protocol will score (calibration from the real
+        # eval distribution)
+        calib_loader = Loader(dataset,
+                              batch_size=max(1, 8 // cfg.data.clip_num or 1),
+                              shuffle=False, num_workers=0, drop_last=False)
+        calib_batches = []
+        t = cfg.model.num_segments
+        for i, b in enumerate(calib_loader):
+            rgb = np.asarray(b["rgb"])              # [V, K, crops*T, H, W, C]
+            calib_batches.append(
+                rgb.reshape((-1, t) + rgb.shape[3:]))
+            if i >= 1:
+                break
+
+    model, variables = _build_model(cfg, arch, calib_batches=calib_batches)
     loader = Loader(dataset, batch_size=max(1, 8 // cfg.data.clip_num or 1),
                     shuffle=False, num_workers=cfg.data.num_workers,
                     drop_last=False)

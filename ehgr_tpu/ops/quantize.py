@@ -75,8 +75,8 @@ class QuantConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 mode: str = "dynamic") -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "dynamic",
+                 declare_scale: bool = False) -> jnp.ndarray:
         assert not self.use_bias, "QuantConv replicates use_bias=False convs"
         kh, kw = self.kernel_size
         w = self.param(
@@ -86,9 +86,13 @@ class QuantConv(nn.Module):
         # extra to — never part of — the checkpointed params tree; only
         # declared in the modes that use it so float/dynamic trees stay
         # byte-identical to nn.Conv's)
+        # ``declare_scale`` lets a float-mode call (training pass of a
+        # static/calib model) still declare the variable, so a tree
+        # initialized via a train=True trace carries the quant collection a
+        # later static apply needs (ADVICE r2 #4)
         act_scale = self.variable(
             "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)) \
-            if mode in ("static", "calib") else None
+            if (mode in ("static", "calib") or declare_scale) else None
         padding = self.padding if isinstance(self.padding, str) \
             else [tuple(p) for p in self.padding]
 
