@@ -93,13 +93,22 @@ def _bench_train(jax, jnp, t, hw, batch=32, warmup=2, iters=6):
          "depth": jnp.asarray(rng.integers(0, 256, (batch, t, hw, hw, 1)),
                               jnp.uint8),
          "label": jnp.asarray(rng.integers(0, 83, (batch,)))}
+    # vary dropout masks and data per iteration as in production (constant
+    # inputs could let XLA/the tunnel elide work; VERDICT r2 weak #6) — but
+    # PRECOMPUTE the variations: a jnp.roll with a fresh static shift inside
+    # the timed loop compiles+dispatches per iteration over the tunnel and
+    # was measured to triple the step time (91.6 -> 29.7 clips/s, round 3)
     key = jax.random.key(0)
-    for _ in range(warmup):
-        state, m = step(state, b, key)
+    keys = [jax.random.fold_in(key, i) for i in range(warmup + iters)]
+    batches = [{k: jnp.roll(v, i, axis=0) for k, v in b.items()}
+               for i in range(warmup + iters)]
+    jax.block_until_ready((keys, batches))
+    for i in range(warmup):
+        state, m = step(state, batches[i], keys[i])
     float(m["loss"])                     # hard sync (see inference note)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, b, key)
+    for i in range(iters):
+        state, m = step(state, batches[warmup + i], keys[warmup + i])
     float(m["loss"])
     dt = time.perf_counter() - t0
     return batch * iters / dt
