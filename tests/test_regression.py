@@ -17,21 +17,94 @@ GOLD_FINAL = [-6.153431415557861, 9.241020202636719, 2.755786895751953,
 GOLD_MID1 = [-0.0006691612652502954, -0.001321121584624052,
              0.001529218745417893, 0.0009384938748553395,
              0.0009153317078016698]
+# tools/gen_goldens.py anchors (VERDICT r2 next #7): tsn / tsn_mtmm /
+# tsn_mtmm_sd / action_stages=(4,) / int8-static, CPU backend, key 42
+GOLD_TSN = [-6.153431415557861, 9.241010665893555, 2.7557883262634277,
+            16.64885711669922, -0.8288717865943909]
+GOLD_MTMM_DEPTH = [0.00018217455362901092, 0.04753204807639122,
+                   0.001977371284738183, 0.2038278430700302,
+                   0.16742710769176483]
+# global-depth sigmoid is ~99% saturated at this tiny random-init geometry;
+# anchor the only unsaturated positions (flat indices) where drift shows
+GOLD_MTMMSD_GDEPTH_IDX = [142, 164, 235, 508]
+GOLD_MTMMSD_GDEPTH = [0.3654920756816864, 0.5124371647834778,
+                      0.9769821166992188, 0.08950060606002808]
+GOLD_TSN_STAGE4 = [-0.007207756862044334, -0.013386164791882038,
+                   0.015618841163814068, 0.026005050167441368,
+                   -0.014160508289933205]
+GOLD_TSN_INT8 = [-6.00992488861084, 9.324078559875488, 3.384481191635132,
+                 17.477317810058594, -0.9204831123352051]
+
+
+def _x():
+    return jnp.asarray(
+        np.linspace(-1, 1, 2 * 4 * 32 * 32 * 3, dtype=np.float32)
+        .reshape(2, 4, 32, 32, 3))
+
+
+def _build(name, **kw):
+    model = variant(name, num_class=5, num_segments=4,
+                    temporal=kw.pop("temporal", "action"),
+                    partial_bn=False, **kw)
+    x = _x()
+    v = jax.jit(lambda r, xx: model.init(r, xx, train=False))(
+        {"params": jax.random.key(42)}, x)
+    return model, v, x
 
 
 class TestGoldenLogits:
     def test_tsn_sd_logits_stable(self):
         model = variant("tsn_sd", num_class=5, num_segments=4,
                         temporal="action", partial_bn=False)
-        x = jnp.asarray(
-            np.linspace(-1, 1, 2 * 4 * 32 * 32 * 3, dtype=np.float32)
-            .reshape(2, 4, 32, 32, 3))
+        x = _x()
         v = model.init({"params": jax.random.key(42)}, x, train=False)
         out = model.apply(v, x, train=False)
         np.testing.assert_allclose(np.asarray(out[0])[0], GOLD_FINAL,
                                    rtol=2e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out[1])[0], GOLD_MID1,
                                    rtol=2e-3, atol=1e-6)
+
+    def test_tsn_logits_stable(self):
+        model, v, x = _build("tsn")
+        out = model.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(out)[0, :5], GOLD_TSN,
+                                   rtol=2e-3, atol=1e-4)
+
+    def test_tsn_mtmm_stable(self):
+        model, v, x = _build("tsn_mtmm")
+        logits, depth = model.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(logits)[0, :5], GOLD_TSN,
+                                   rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(depth, np.float64).reshape(-1)[:5], GOLD_MTMM_DEPTH,
+            rtol=2e-2, atol=1e-5)
+
+    def test_tsn_mtmm_sd_gdepth_stable(self):
+        model, v, x = _build("tsn_mtmm_sd")
+        out = model.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(out[0])[0, :5], GOLD_TSN,
+                                   rtol=2e-3, atol=1e-4)
+        g = np.asarray(out[9], np.float64).reshape(-1)
+        np.testing.assert_allclose(g[GOLD_MTMMSD_GDEPTH_IDX],
+                                   GOLD_MTMMSD_GDEPTH, rtol=2e-2)
+
+    def test_tsn_action_stage4_stable(self):
+        model, v, x = _build("tsn", action_stages=(4,))
+        out = model.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(out)[0, :5], GOLD_TSN_STAGE4,
+                                   rtol=2e-3, atol=1e-5)
+
+    def test_tsn_int8_static_stable(self):
+        import dataclasses
+
+        from ehgr_tpu.ops.quantize import calibrate
+
+        model, v, x = _build("tsn", quantize="static")
+        cm = dataclasses.replace(model, quantize="calib")
+        v = calibrate(cm, v, [x])
+        out = model.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(out)[0, :5], GOLD_TSN_INT8,
+                                   rtol=2e-3, atol=1e-4)
 
 
 class TestSelectBatch:
