@@ -46,6 +46,86 @@ class _Kernel1x1(nn.Module):
                           self.shape)
 
 
+def _shift_zero(x: jnp.ndarray, axis: int, d: int) -> jnp.ndarray:
+    """``out[i] = x[i+d]`` along ``axis``, zero-filled at the edges (the
+    'SAME' zero-padding convention of torch/lax convs)."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (0, d)
+        sl[axis] = slice(d, None)
+    else:
+        pad[axis] = (-d, 0)
+        sl[axis] = slice(None, d)
+    return jnp.pad(x[tuple(sl)], pad)
+
+
+def ste_conv3d(p1: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """The STE branch's 3x3x3 single-channel 'SAME' conv on ``[N,T,H,W,1]``
+    (ref ``action.py:77-83``) as 27 shifted multiply-adds.
+
+    Why not ``lax.conv``: a 1-in/1-out-channel conv occupies one of the
+    TPU's 128 lanes and pads the rest.  Measured in the full MTMM train step
+    the swap is NEUTRAL (345 vs 350 ms at b32 — XLA's lowering was already
+    tolerable; per-gate stop-grad attribution put the whole STE backward at
+    ~8 ms, docs/PERF.md round 3); kept as default because it is exactly
+    equal math (correlation, zero pad) with no degenerate-channel lowering
+    to depend on: each tap is a slice+pad the compiler fuses into the FMA
+    chain, and its autodiff transpose is the mirrored stencil.
+    ``k``: ``[3,3,3,1,1]`` (DHWIO, torch Conv3d weight transposed as usual).
+    """
+    m = p1[..., 0]                                     # [N, T, H, W]
+    out = jnp.zeros_like(m)
+    for a in range(3):
+        md = _shift_zero(m, 1, a - 1)
+        for b in range(3):
+            mh = _shift_zero(md, 2, b - 1)
+            for cc in range(3):
+                out = out + k[a, b, cc, 0, 0] * _shift_zero(mh, 3, cc - 1)
+    return out[..., None]
+
+
+def depthwise_conv3x3(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """The ME branch's 3x3 'SAME' depthwise conv on ``[NT,H,W,Cr]`` (ref
+    ``action.py:51-54``) as 9 per-channel shifted multiply-adds.
+
+    Why not ``nn.Conv(feature_group_count=Cr)``: grouped convs with tiny
+    channel counts depend on a lowering TPU handles poorly in general.
+    Measured in the full MTMM train step the swap is NEUTRAL (104.1 vs
+    102.6 clips/s at b16, 88.8 vs 91.3 at b32 — the ME backward's ~52 ms,
+    found by stop-grad attribution, is the x_shift gradient-accumulation
+    traffic, not this conv; docs/PERF.md round 3).  Kept as default for the
+    same reason as ``ste_conv3d``: exactly equal math with no grouped
+    lowering anywhere — 9 slice+pad taps fused into an FMA chain with
+    per-channel weights broadcast on the lane axis.
+    ``k``: ``[3,3,1,Cr]`` (flax HWIO grouped layout — same tree entry)."""
+    out = jnp.zeros_like(x)
+    for b in range(3):
+        xh = _shift_zero(x, 1, b - 1)
+        for cc in range(3):
+            out = out + k[b, cc, 0] * _shift_zero(xh, 2, cc - 1)
+    return out
+
+
+# A/B switch for perf tooling (tools/bench_train_sweep.py monkeypatches);
+# True = shifted-FMA stencil, False = lax.conv_general_dilated
+STE_STENCIL = True
+
+# Same switch for the ME depthwise conv (stencil vs grouped nn.Conv)
+DW_STENCIL = True
+
+# Backward-attribution knob (perf tooling only — tools/bench_train_sweep.py):
+# gate names placed here get jax.lax.stop_gradient, so their FORWARD cost
+# stays while their backward disappears; never set in production code.
+SG_GATES: frozenset = frozenset()
+
+
+def _maybe_sg(g: jnp.ndarray, name: str) -> jnp.ndarray:
+    return jax.lax.stop_gradient(g) if name in SG_GATES else g
+
+
 class ActionConv(nn.Module):
     """ACTION wrapper owning the conv it feeds (the reference's ``net``).
 
@@ -137,10 +217,13 @@ class ActionConv(nn.Module):
                 x3 = x3.reshape(nt, h, w, reduced).astype(self.dtype)
 
             # (2) STE — spatial-temporal excitation (ref :39-41, 76-83)
-            p1 = jax.lax.conv_general_dilated(
-                p1, k_p1.astype(self.dtype), (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-            g1 = nn.sigmoid(p1)                               # [N,T,H,W,1]
+            if STE_STENCIL:
+                p1 = ste_conv3d(p1, k_p1.astype(self.dtype))
+            else:
+                p1 = jax.lax.conv_general_dilated(
+                    p1, k_p1.astype(self.dtype), (1, 1, 1), "SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            g1 = _maybe_sg(nn.sigmoid(p1), "ste")             # [N,T,H,W,1]
 
         # (3) CE — channel excitation (ref :43-48, 85-96)
         p2 = nn.Dense(reduced, use_bias=False, dtype=self.dtype,
@@ -150,15 +233,19 @@ class ActionConv(nn.Module):
         p2 = nn.relu(p2)
         p2 = nn.Dense(c, use_bias=False, dtype=self.dtype,
                       name="p2_expand")(p2)                   # [N,T,C]
-        g2 = nn.sigmoid(p2)                                   # [N,T,C]
+        g2 = _maybe_sg(nn.sigmoid(p2), "ce")                  # [N,T,C]
 
         # (4) ME — motion excitation (ref :51-58, 98-113); consumes x_shift
         x3 = BatchNorm(use_running_average=(not train) or self.bn_frozen,
                           momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                           name="p3_bn1")(x3)
-        x3c = nn.Conv(reduced, (3, 3), use_bias=False, padding="SAME",
-                      feature_group_count=reduced, dtype=self.dtype,
-                      name="p3_conv1")(x3)                    # depthwise
+        if DW_STENCIL:
+            k_p3c = _Kernel1x1((3, 3, 1, reduced), name="p3_conv1")()
+            x3c = depthwise_conv3x3(x3, k_p3c.astype(self.dtype))
+        else:
+            x3c = nn.Conv(reduced, (3, 3), use_bias=False, padding="SAME",
+                          feature_group_count=reduced, dtype=self.dtype,
+                          name="p3_conv1")(x3)                # depthwise
         x3_5 = x3.reshape(n, t, h, w, reduced)
         x3c_5 = x3c.reshape(n, t, h, w, reduced)
         diff = x3c_5[:, 1:] - x3_5[:, :-1]                    # [N,T-1,...]
@@ -167,7 +254,7 @@ class ActionConv(nn.Module):
         p3 = jnp.mean(diff, axis=(2, 3))                      # [N,T,Cr]
         p3 = nn.Dense(c, use_bias=False, dtype=self.dtype,
                       name="p3_expand")(p3)
-        g3 = nn.sigmoid(p3)                                   # [N,T,C]
+        g3 = _maybe_sg(nn.sigmoid(p3), "me")                  # [N,T,C]
 
         if use_mega:
             from ehgr_tpu.ops.pallas.action_mega import action_apply
