@@ -67,7 +67,10 @@ def _bench_latency(jax, jnp, model, variables, normalize_clip, t, hw,
     return float(np.percentile(times, 50)), float(np.percentile(times, 99))
 
 
-def _bench_train(jax, jnp, t, hw, batch=32, warmup=2, iters=6):
+def _bench_train(jax, jnp, t, hw, batch=16, warmup=2, iters=12):
+    # batch 16 is the measured throughput peak for the full MTMM step (the
+    # round-3 sweep: b8=91, b12=101, b16=104, b24=89, b32=92, b48=OOM —
+    # backward-pass HBM traffic grows super-linearly past b16; docs/PERF.md)
     from ehgr_tpu.configs import LossConfig, OptimConfig
     from ehgr_tpu.models.tsn import variant
     from ehgr_tpu.train.optim import build_optimizer
