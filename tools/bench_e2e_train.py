@@ -30,6 +30,12 @@ import torch  # noqa: F401  (torch before jax; CLAUDE.md)
 import jax
 import jax.numpy as jnp
 
+# persistent jit cache: repeat tool invocations skip the ~5 min remote
+# compiles (tunnel compile service)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ehgr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 T, HW, CLS = 8, 224, 83
 MEAN, STD = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
 
@@ -77,6 +83,7 @@ def main(argv=None):
         construct_annot_ego(paths["frame_path"], paths["label_path"],
                             annot, mode)
     tree_s = time.perf_counter() - t0
+    print(f"[e2e] tree ready in {tree_s:.0f}s", flush=True)
 
     cfg = Config(
         data=DataConfig(dataset="EgoGesture", annot_path=annot,
@@ -99,6 +106,7 @@ def main(argv=None):
     for i in range(n_host):
         train_ds[i]
     host_rate = n_host / (time.perf_counter() - t0)
+    print(f"[e2e] host decode: {host_rate:.1f} clips/s/core", flush=True)
 
     # --- device step ----------------------------------------------------
     model = variant("tsn_mtmm", num_class=CLS, num_segments=T,
@@ -129,6 +137,7 @@ def main(argv=None):
         state, m = step(state, bdev, jax.random.fold_in(key, i))
     float(m["loss"])
     dev_rate = 4 * args.batch / (time.perf_counter() - t0)
+    print(f"[e2e] device-only: {dev_rate:.1f} clips/s", flush=True)
 
     # --- end-to-end: loader -> select_batch -> step ---------------------
     done = 0
@@ -137,6 +146,7 @@ def main(argv=None):
     warm = select_batch(next(it), "mtmm", "rgb_depth")
     state, m = step(state, warm, key)     # compile with loader shapes
     float(m["loss"])
+    print("[e2e] loader-shape step compiled", flush=True)
     t0 = time.perf_counter()
     while done < args.steps:
         try:

@@ -26,6 +26,12 @@ import torch  # noqa: F401  (torch before jax; CLAUDE.md)
 import jax
 import jax.numpy as jnp
 
+# persistent jit cache: repeat tool invocations skip the ~5 min remote
+# compiles (tunnel compile service)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ehgr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 from ehgr_tpu.configs import LossConfig, OptimConfig
 from ehgr_tpu.models.tsn import variant
 from ehgr_tpu.train.optim import build_optimizer
