@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--dataset_path", default="")
     p.add_argument("--save_path", required=True)
     p.add_argument("--pseudo_depth", action="store_true")
+    p.add_argument("--midas_weights", default="",
+                   help="dpt_large-midas-2f21e586.pt path -> real TPU DPT "
+                        "pseudo-depth; default is the labeled gray proxy")
     p.add_argument("--make_10cls", action="store_true")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -30,9 +33,13 @@ def main(argv=None):
     written = []
     if args.dataset == "ego":
         if args.pseudo_depth:
-            from ehgr_tpu.data.pseudo_depth import generate_pseudo_depth_tree
+            from ehgr_tpu.data.pseudo_depth import (generate_pseudo_depth_tree,
+                                                    midas_predictor)
 
-            n = generate_pseudo_depth_tree(args.frame_path, args.frame_path)
+            pred = midas_predictor(args.midas_weights) \
+                if args.midas_weights else None
+            n = generate_pseudo_depth_tree(args.frame_path, args.frame_path,
+                                           predictor=pred)
             print(f"pseudo-depth frames written: {n}")
         for mode in ("train", "val", "test", "train_plus_val"):
             written.append(construct_annot_ego(

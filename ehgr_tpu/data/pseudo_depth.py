@@ -65,10 +65,57 @@ def generate_pseudo_depth_tree(
     return n
 
 
-def midas_predictor():
-    """Hook for a real MiDaS/DPT model.  Not available in this image
-    (no torchvision / network egress) — raises with instructions."""
-    raise RuntimeError(
-        "MiDaS DPT_Large is not bundled (no network egress). Provide "
-        "generate_pseudo_depth_tree(..., predictor=<your uint8[H,W,3] -> "
-        "float[H,W] model>) — any monocular depth estimator works.")
+def midas_predictor(weights_path: Optional[str] = None):
+    """Real MiDaS DPT_Large as a TPU predictor (``uint8 [H,W,3] ->
+    float [H,W]`` in [0,1]).
+
+    ``weights_path`` must point at the official checkpoint
+    (``dpt_large-midas-2f21e586.pt``) fetched outside this image — the hub
+    download itself is env-blocked (no network egress).  The architecture,
+    converter, and resize protocol are all local
+    (``ehgr_tpu/models/dpt.py``): frames scale to the nearest
+    multiple-of-32 geometry at min-side 384 (MiDaS ``dpt_transform``
+    semantics), run jitted (one compile per distinct frame geometry), and
+    the inverse-depth map is min-max normalized per frame — matching the
+    reference's JPEG quantization of relative depth
+    (``preprocess/generate_pseudo_depth_ego.py``, via torchshow's
+    per-image normalization)."""
+    if weights_path is None or not os.path.isfile(weights_path):
+        raise RuntimeError(
+            "MiDaS DPT_Large weights are not bundled (no network egress). "
+            "Download dpt_large-midas-2f21e586.pt elsewhere and pass "
+            "weights_path=, or provide generate_pseudo_depth_tree(..., "
+            "predictor=<your uint8[H,W,3] -> float[H,W] model>).")
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ehgr_tpu.models.dpt import convert_midas_state_dict, dpt_large
+
+    sd = torch.load(weights_path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    model = dpt_large()
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 384, 384, 3), jnp.float32))
+    variables, _ = convert_midas_state_dict(sd, variables)
+
+    @jax.jit
+    def run(x):                          # [1, H', W', 3] normalized
+        return model.apply(variables, x)
+
+    def predict(frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape[:2]
+        s = 384.0 / min(h, w)
+        th = max(32, int(round(h * s / 32)) * 32)
+        tw = max(32, int(round(w * s / 32)) * 32)
+        x = jnp.asarray(frame, jnp.float32)[None] / 255.0
+        x = jax.image.resize(x, (1, th, tw, 3), "bilinear")
+        x = (x - 0.5) / 0.5
+        inv = np.asarray(jax.image.resize(run(x), (1, h, w), "bilinear"))[0]
+        lo, hi = float(inv.min()), float(inv.max())
+        return (inv - lo) / (hi - lo) if hi > lo else np.zeros_like(inv)
+
+    return predict
