@@ -125,6 +125,45 @@ class TestSmoothing:
         assert np.isclose(r._probs[2], 0.5, atol=1e-6)
 
 
+class TestCascadeComposition:
+    def test_stream_windows_through_cascade(self):
+        """The documented pairing: cascade scorer as the stream score_fn —
+        confident windows stay on the exit stage, uncertain ones escalate."""
+        from ehgr_tpu.eval.cascade import (build_cascade_score_fns,
+                                           execute_cascade)
+        from ehgr_tpu.train.checkpoints import merge_variables
+
+        x0 = jnp.zeros((1, T, 32, 32, 3), jnp.float32)
+        sd = variant("tsn_sd", num_class=CLS, num_segments=T,
+                     temporal="action", partial_bn=False)
+        sd_vars = sd.init({"params": jax.random.key(1)}, x0, train=False)
+        stages = []
+        for arch in ("tsn_middle1", "tsn"):
+            m = variant(arch, num_class=CLS, num_segments=T,
+                        temporal="action", partial_bn=False)
+            v = m.init({"params": jax.random.key(0)}, x0, train=False)
+            stages.append((m, merge_variables(dict(v), dict(sd_vars))[0]))
+        score_exit, score_full = build_cascade_score_fns(
+            stages[0][0], stages[0][1], stages[1][0], stages[1][1],
+            scale_size=32, crop_size=32, square_resize=True,
+            dtype_name="float32")
+        escalations = []
+
+        def fn(clip_u8):
+            run = execute_cascade(score_exit, score_full,
+                                  clip_u8[:, None], threshold=0.5)
+            escalations.append(bool(run["escalated"][0]))
+            return run["probs"]
+
+        r = StreamingRecognizer(fn, num_segments=T, window=8, stride=4,
+                                threshold=1.1)
+        rng = np.random.default_rng(5)
+        for _ in range(12):
+            r.push(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+        assert len(escalations) == 3          # windows at frames 4, 8, 12
+        assert r._probs is not None and r._probs.shape == (CLS,)
+
+
 class TestRealModel:
     def test_tsn_stream_smoke(self):
         model = variant("tsn", num_class=CLS, num_segments=T,
