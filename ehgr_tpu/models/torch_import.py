@@ -217,6 +217,67 @@ def convert_state_dict(state_dict: Mapping[str, Any],
     return unflatten_dict(out), missing
 
 
+# --- flax -> torch EXPORT (the reverse direction) ---------------------------
+#
+# Every flax path already has a canonical torch key via
+# ``_flax_path_to_torch_key`` (validated against the actual reference
+# state_dicts by tests/test_reference_parity.py), so export is the exact
+# inverse of the tensor rules above.  This makes checkpoints trained in
+# this framework loadable by the REFERENCE scripts
+# (``load_state_dict(strict=False)``, test.py:247-257) — the interop
+# direction real users migrating off torch need for A/B validation.
+
+# flax Dense leaves whose torch counterpart is a 1x1 Conv2d (the ACTION
+# squeeze/expand sites, models/action.py:43-58)
+_EXPORT_1X1_DENSE = ("action_p2_squeeze.weight", "action_p2_expand.weight",
+                     "action_p3_expand.weight")
+
+
+def _export_tensor(t: np.ndarray, torch_key: str) -> np.ndarray:
+    t = np.asarray(t)
+    if torch_key.endswith("action_shift.weight"):
+        return np.ascontiguousarray(t.T[:, None, :])      # [3,C] -> [C,1,3]
+    if t.ndim == 2 and torch_key.endswith(_EXPORT_1X1_DENSE):
+        return np.ascontiguousarray(t.T[:, :, None, None])
+    if t.ndim == 5:
+        return np.ascontiguousarray(t.transpose(4, 3, 0, 1, 2))
+    if t.ndim == 4:
+        return np.ascontiguousarray(t.transpose(3, 2, 0, 1))
+    if t.ndim == 3:
+        return np.ascontiguousarray(t.transpose(2, 1, 0))
+    if t.ndim == 2:
+        return np.ascontiguousarray(t.T)
+    return np.ascontiguousarray(t)
+
+
+def export_state_dict(variables: Mapping[str, Any]) -> dict:
+    """flax variables -> torch-layout state_dict (numpy arrays).
+
+    Covers the resnet-family TSN surfaces (tsn / tsn_mtmm / tsn_sd /
+    tsn_mtmm_sd and the Middle deploys share the same key space).  BN
+    ``num_batches_tracked`` buffers are not emitted; the reference loads
+    checkpoints with ``strict=False`` throughout, which tolerates that."""
+    flat = flatten_dict(unfreeze(variables))
+    sd = {}
+    for path, leaf in flat.items():
+        if path[0] not in ("params", "batch_stats"):
+            continue                       # e.g. int8 'quant' scales
+        key = _flax_path_to_torch_key(tuple(path[1:]))
+        sd[key] = _export_tensor(np.asarray(leaf, np.float32), key)
+    return sd
+
+
+def save_torch_checkpoint(path: str, variables: Mapping[str, Any]) -> str:
+    """Write a reference-compatible ``{'state_dict': ...}`` ``.pth.tar``
+    (the ``utils.py:24-36`` payload shape) from flax variables."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in
+          export_state_dict(variables).items()}
+    torch.save({"state_dict": sd}, path)
+    return path
+
+
 def load_torch_checkpoint(path: str, variables: Mapping[str, Any],
                           strict: bool = False):
     """Load a reference ``*.pth.tar`` checkpoint ({'state_dict', 'optimizer'},
