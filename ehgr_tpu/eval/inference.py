@@ -44,6 +44,36 @@ def make_score_fn(model, variables, *, scale_size: int = 224,
     return score
 
 
+def make_sharded_score_fn(model, variables, mesh, *,
+                          model_parallel: bool = False,
+                          **score_kw) -> Callable:
+    """Data-parallel multi-clip scorer over a device mesh.
+
+    Videos shard over the mesh's ``data`` axis (eval is embarrassingly
+    parallel — zero cross-device traffic in the common path); params
+    replicate, or with ``model_parallel=True`` the classifier/exit head
+    kernels shard their class dim over ``model`` (GSPMD all-gathers the
+    tiny logit shards).  The video batch must be a multiple of the data
+    axis size.  Same signature/semantics as ``make_score_fn`` otherwise —
+    the eval-side counterpart of the sharded train step."""
+    from ehgr_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
+                                        param_shardings)
+
+    variables = jax.device_put(
+        variables, param_shardings(variables, mesh, model_parallel))
+    score = make_score_fn(model, variables, **score_kw)
+    sh = batch_sharding(mesh)
+    ndata = mesh.shape[DATA_AXIS]
+
+    def fn(frames_u8):
+        v = frames_u8.shape[0]
+        assert v % ndata == 0, \
+            f"video batch {v} must divide data axis {ndata}"
+        return score(jax.device_put(jnp.asarray(frames_u8), sh))
+
+    return fn
+
+
 def evaluate(score_fn: Callable, batches, num_classes: int,
              ks=(1, 5)) -> dict:
     """Run the protocol over an iterable of ``(frames_u8, labels)`` host

@@ -35,6 +35,36 @@ class TestProtocol:
         manual = p2.reshape(2, K, CLS).mean(axis=1)
         np.testing.assert_allclose(probs, manual, rtol=1e-4, atol=1e-5)
 
+    def test_sharded_eval_equals_single_device(self, rng):
+        """Mesh-sharded scoring (videos over the data axis, optional TP
+        heads) reproduces single-device probabilities exactly."""
+        from ehgr_tpu.eval.inference import make_sharded_score_fn
+        from ehgr_tpu.parallel.mesh import make_mesh
+
+        # 6 classes: divisible by the 2-wide model axis so the TP-head
+        # sharding path actually engages (5 % 2 != 0 would fall back)
+        model = variant("tsn", num_class=6, num_segments=T,
+                        temporal="action", partial_bn=False)
+        x0 = jnp.zeros((1, T, HW, HW, 3), jnp.float32)
+        variables = model.init({"params": jax.random.key(3)}, x0,
+                               train=False)
+        frames = rng.integers(0, 256, (8, K, T, HW, HW, 3), dtype=np.uint8)
+        single = make_score_fn(model, variables, crop_size=HW,
+                               dtype_name="float32")
+        want = np.asarray(single(jnp.asarray(frames)))
+
+        for mp in (False, True):      # pure dp / dp + TP heads (4x2 mesh)
+            mesh = make_mesh(8, model_parallel=2 if mp else 1)
+            sharded = make_sharded_score_fn(
+                model, variables, mesh, model_parallel=mp,
+                crop_size=HW, dtype_name="float32")
+            got = np.asarray(sharded(frames))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6,
+                                       err_msg=f"model_parallel={mp}")
+
+        with pytest.raises(AssertionError, match="divide"):
+            sharded(frames[:3])       # 3 videos over 4-way data axis
+
     def test_evaluate_accumulates(self, rng):
         model = variant("tsn", num_class=CLS, num_segments=T,
                         temporal="none", partial_bn=False)
