@@ -98,6 +98,11 @@ def main(argv=None):
     cfg_q = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, quantize="static"))
     model_q, vars_q = _build_model(cfg_q, "tsn", calib_batches=calib)
+    # guard: the int8 path must actually be engaged — a silently-float
+    # model would report a perfect (meaningless) agreement
+    scales = jax.tree_util.tree_leaves(vars_q.get("quant", {}))
+    assert scales and max(float(jnp.max(s)) for s in scales) > 0, \
+        "static-int8 calibration produced no activation scales"
 
     mean, std = cfg.data.mean, cfg.data.std
 
@@ -142,8 +147,8 @@ def main(argv=None):
            "top1_int8": round(100.0 * c1q / n, 2),
            "top1_delta": round(100.0 * (c1q - c1f) / n, 2),
            "pred_agreement_pct": round(100.0 * agree / n, 2),
-           "logit_cos_mean": round(float(coses.mean()), 4),
-           "logit_cos_min": round(float(coses.min()), 4)}
+           "logit_cos_mean": round(float(coses.mean()), 6),
+           "logit_cos_min": round(float(coses.min()), 6)}
     print(json.dumps(out))
     return out
 
