@@ -287,6 +287,8 @@ def convert_midas_state_dict(state_dict, variables, cfg: DPT = None):
     kmap = midas_key_map(cfg)
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])
     unused = []
+    state_dict = {(k[len("module."):] if k.startswith("module.") else k): v
+                  for k, v in state_dict.items()}
     for tk, v in state_dict.items():
         if tk not in kmap:
             unused.append(tk)
