@@ -107,6 +107,10 @@ class OptimConfig:
     # False = single param group (train_slowonly.py's plain SGD); True = the
     # 9-group lr/decay policy walk (models_MTMM.py:180-266)
     policies: bool = True
+    # >1 = gradient accumulation: split each batch into this many scanned
+    # microbatches, one optimizer/EMA update per batch (effective batches
+    # beyond the single-pass HBM wall; train/steps.py)
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -255,6 +259,9 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
     p.add_argument("--quantize", default=None,
                    choices=["dynamic", "static"],
                    help="int8 MXU inference for backbone convs")
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--accum_steps", type=int, default=None,
+                   help="gradient accumulation: microbatches per step")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset)
@@ -268,18 +275,19 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
             clip_len=args.clip_len, batch_size=args.batch_size,
             clip_num=args.clip_num, test_crops=args.test_crops,
             scale_size=args.scale_size, crop_size=args.crop_size,
-            train_crop_size=args.train_crop_size, backend=args.backend)
+            train_crop_size=args.train_crop_size, backend=args.backend,
+            num_classes=args.num_classes)
     if args.synthetic:
         d = replace(d, backend="synthetic")
     m = upd(m, base_model=args.base_model, shift_div=args.shift_div,
             modal=args.modal, dropout=args.dropout,
             num_segments=args.clip_len, action_fused=args.action_fused,
-            quantize=args.quantize,
+            quantize=args.quantize, num_classes=args.num_classes,
             action_stages=(tuple(args.action_stages)
                            if args.action_stages else None))
     o = upd(o, lr=args.lr, weight_decay=args.wd, epochs=args.epochs,
             lr_steps=tuple(args.lr_steps) if args.lr_steps else None,
-            ema_decay=args.ema_decay)
+            ema_decay=args.ema_decay, accum_steps=args.accum_steps)
     r = upd(r, model_name=args.model_name, checkpoint_path=args.checkpoint_path)
     return Config(data=d, model=m, optim=o, loss=cfg.loss,
                   parallel=cfg.parallel, run=r).validate()

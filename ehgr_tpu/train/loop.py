@@ -151,7 +151,8 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
     loss_cfg = _replace(cfg.loss, depth_size=cfg.data.train_crop // 4)
     step_fn = make_train_step(model, tx, stage=stage, loss_cfg=loss_cfg,
                               ema_decay=cfg.optim.ema_decay,
-                              mean=cfg.data.mean, std=cfg.data.std)
+                              mean=cfg.data.mean, std=cfg.data.std,
+                              accum_steps=cfg.optim.accum_steps)
     multi = stage in ("sd", "mtmm_sd")
     eval_fn = make_eval_step(model, mean=cfg.data.mean, std=cfg.data.std,
                              multi_output=multi)

@@ -62,9 +62,22 @@ def _forward(model, params, batch_stats, rgb, train, rng):
 
 
 def make_train_step(model, tx, *, stage: str, loss_cfg, ema_decay: float,
-                    mean, std, donate: bool = True) -> Callable:
+                    mean, std, donate: bool = True,
+                    accum_steps: int = 1) -> Callable:
     """Build the jitted step for ``stage`` in {'baseline','mtmm','sd',
-    'mtmm_sd'}.  Returns ``(state, batch, rng) -> (state, metrics)``."""
+    'mtmm_sd'}.  Returns ``(state, batch, rng) -> (state, metrics)``.
+
+    ``accum_steps=A > 1`` enables gradient accumulation: the batch (leading
+    dim N, divisible by A) is split into A microbatches and scanned, so only
+    one microbatch's activations are ever live — effective batches beyond
+    the single-pass HBM wall (b48 OOMs on 16 GB, docs/PERF.md) at the b16
+    throughput peak.  Semantics match the standard ``loss / A`` torch
+    convention: gradients are the mean over microbatches (exactly the
+    full-batch gradient for mean-reduced losses; sum-reduced terms — the SD
+    hint loss, train_sd.py:191-193 — scale by 1/A), BN batch stats see each
+    microbatch sequentially, dropout draws a fresh key per microbatch, and
+    the optimizer + EMA update once per call.
+    """
 
     def loss_fn(params, batch_stats, batch, rng):
         rgb = normalize_clip(batch["rgb"], mean, std,
@@ -109,12 +122,46 @@ def make_train_step(model, tx, *, stage: str, loss_cfg, ema_decay: float,
             raise ValueError(stage)
         return total, (new_stats, aux, logits)
 
+    def _grads_and_metrics(state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps == 1:
+            (total, (new_stats, aux, logits)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+            c1, c5 = topk_correct(logits, batch["label"], (1, 5))
+            return grads, new_stats, total, aux, c1, c5
+
+        n = batch["label"].shape[0]
+        if n % accum_steps:
+            raise ValueError(
+                f"batch size {n} not divisible by accum_steps={accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), batch)
+
+        def micro_step(carry, xs):
+            stats, gacc = carry
+            mb, k = xs
+            (total, (new_stats, aux, logits)), grads = grad_fn(
+                state.params, stats, mb, jax.random.fold_in(rng, k))
+            gacc = jax.tree.map(lambda a, g: a + g / accum_steps, gacc, grads)
+            c1, c5 = topk_correct(logits, mb["label"], (1, 5))
+            out = dict(aux)
+            out.update(_loss=total, _c1=c1, _c5=c5)
+            return (new_stats, gacc), out
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grads), outs = jax.lax.scan(
+            micro_step, (state.batch_stats, zeros),
+            (micro, jnp.arange(accum_steps)))
+        total = jnp.mean(outs.pop("_loss"))
+        c1, c5 = jnp.sum(outs.pop("_c1")), jnp.sum(outs.pop("_c5"))
+        aux = {k: jnp.mean(v) for k, v in outs.items()}
+        return grads, new_stats, total, aux, c1, c5
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (new_stats, aux, logits)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng)
+        grads, new_stats, total, aux, c1, c5 = _grads_and_metrics(
+            state, batch, rng)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -128,7 +175,6 @@ def make_train_step(model, tx, *, stage: str, loss_cfg, ema_decay: float,
             ema_batch_stats=ema_update(state.ema_batch_stats, new_stats,
                                        ema_decay),
         )
-        c1, c5 = topk_correct(logits, batch["label"], (1, 5))
         n = batch["label"].shape[0]
         metrics = {"loss": total, "top1": 100.0 * c1 / n,
                    "top5": 100.0 * c5 / n}

@@ -131,3 +131,108 @@ class TestDataParallel:
         m2 = s2.batch_stats["base_model"]["bn1"]["mean"]
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestGradAccum:
+    """Gradient accumulation (make_train_step(accum_steps=A)): A scanned
+    microbatches, mean grads, one optimizer/EMA update."""
+
+    def _build(self, stage, arch, accum, dropout=0.0):
+        model = variant(arch, num_class=CLS, num_segments=T,
+                        temporal="action", partial_bn=False, dropout=dropout)
+        x = jnp.zeros((2, T, HW, HW, 3), jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        tx, _ = build_optimizer(variables["params"], OptimConfig(lr=0.00125),
+                                steps_per_epoch=10)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, stage=stage,
+                               loss_cfg=LossConfig(depth_size=8),
+                               ema_decay=0.99, mean=MEAN, std=STD,
+                               donate=False, accum_steps=accum)
+        return state, step
+
+    def test_tiled_batch_matches_plain_step_exactly(self, rng):
+        """With the same microbatch tiled A times and dropout off, per-micro
+        batch statistics equal full-batch statistics and all mean-reduced
+        losses (MTMM stage) are identical per micro — so accum(A) must
+        reproduce the plain step's loss/grads/params to fp32 tolerance.
+        Running BN stats follow torch semantics: the momentum update fires
+        once per microbatch, so accum stats obey the analytic A-fold
+        relation r_A = m^A r0 + (1-m^A) b (flax momentum m=0.9), where b is
+        recovered from the plain step's single update r1 = m r0 + (1-m) b."""
+        A = 4
+        state, plain = self._build("mtmm", "tsn_mtmm", 1)
+        _, accum = self._build("mtmm", "tsn_mtmm", A)
+        micro = {
+            "rgb": jnp.asarray(rng.integers(0, 256, (2, T, HW, HW, 3)),
+                               jnp.uint8),
+            "depth": jnp.asarray(rng.integers(0, 256, (2, T, HW, HW, 1)),
+                                 jnp.uint8),
+            "label": jnp.asarray(rng.integers(0, CLS, (2,))),
+        }
+        batch = jax.tree.map(lambda x: jnp.tile(x, (A,) + (1,) * (x.ndim - 1)),
+                             micro)
+        s1, m1 = plain(state, batch, jax.random.key(3))
+        s2, m2 = accum(state, batch, jax.random.key(3))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        assert float(m1["top1"]) == float(m2["top1"])
+        # fp32 tolerance is set by chaotic amplification, not the semantics:
+        # BN reduces over 8 vs 2 samples (equal analytically, ~1e-7 apart in
+        # fp32), and 50 BN layers fwd+bwd amplify that to ~1e-5 absolute on
+        # bias-like leaves (measured 1.4e-5 max).  A semantic bug (missing
+        # /A, wrong stats carry) shows up at O(1) relative — far above this.
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+        # Var leaves carry torch's unbiased n/(n-1) running-var factor
+        # (models/norm.py) where n is the PER-UPDATE reduction count, so the
+        # 2-sample micros and the 8-sample full batch recover slightly
+        # different b on var leaves — up to (8/7)/(32/31) ≈ 1.10 at a 1×1
+        # decoder BN (torch grad accumulation skews identically).  A fixed
+        # tolerance can't hold across counts, so test the SEMANTICS as a
+        # hypothesis ratio: the A-fold prediction must fit far better than
+        # the single-update hypothesis rA == r1 (what a
+        # momentum-applied-once bug would produce, exactly).
+        m = 0.9
+        for r0, r1, rA in zip(jax.tree.leaves(state.batch_stats),
+                              jax.tree.leaves(s1.batch_stats),
+                              jax.tree.leaves(s2.batch_stats)):
+            r0, r1, rA = np.asarray(r0), np.asarray(r1), np.asarray(rA)
+            b = (r1 - m * r0) / (1.0 - m)
+            expect = m**A * r0 + (1.0 - m**A) * b
+            err_afold = np.max(np.abs(rA - expect))
+            err_single = np.max(np.abs(rA - r1))
+            assert err_afold <= 0.5 * err_single + 1e-4, (
+                f"A-fold relation off by {err_afold:.3g} vs single-update "
+                f"residual {err_single:.3g}")
+
+    def test_distinct_micro_runs_all_stages(self, rng):
+        for stage, arch, with_depth in [("baseline", "tsn", False),
+                                        ("sd", "tsn_sd", False),
+                                        ("mtmm_sd", "tsn_mtmm_sd", True)]:
+            state, step = self._build(stage, arch, 2, dropout=0.5)
+            batch = make_batch(rng, with_depth)
+            new_state, m = step(state, batch, jax.random.key(0))
+            assert int(new_state.step) == 1
+            assert np.isfinite(float(m["loss"])), stage
+            assert 0.0 <= float(m["top1"]) <= 100.0
+
+    def test_indivisible_batch_raises(self, rng):
+        state, step = self._build("baseline", "tsn", 3)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, make_batch(rng), jax.random.key(0))
+
+    def test_accum_under_data_mesh(self, rng):
+        """The accum step compiles and runs with batches sharded on the
+        8-device data mesh (scan reshape keeps the micro dim sharded)."""
+        state, step = self._build("baseline", "tsn", 2, dropout=0.5)
+        batch = make_batch(rng)
+        mesh = make_mesh(8)
+        from ehgr_tpu.parallel.mesh import replicated
+        sh_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), state)
+        new_state, m = step(sh_state, shard_batch(batch, mesh),
+                            jax.random.key(0))
+        assert np.isfinite(float(m["loss"]))
