@@ -121,6 +121,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent jit cache: the cold compile of the train step over the
+    # tunnel after a backend restart took >15 min (round-3 chip queue);
+    # warm reruns skip it entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ehgr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ehgr_tpu.models.tsn import variant
     from ehgr_tpu.ops.preprocess_device import normalize_clip
 
