@@ -110,11 +110,14 @@ def depthwise_conv3x3(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 # A/B switch for perf tooling (tools/bench_train_sweep.py monkeypatches);
-# True = shifted-FMA stencil, False = lax.conv_general_dilated
-STE_STENCIL = True
+# True = shifted-FMA stencil, False = lax.conv_general_dilated.
+# Defaults measured on the chip (tools/bench_stencil_ab.py, b384 inference):
+# conv forms 470.3 clips/s vs stencil forms 427.9 (DW stencil −38, STE −6);
+# train step neutral either way — so conv lowerings are the defaults.
+STE_STENCIL = False
 
 # Same switch for the ME depthwise conv (stencil vs grouped nn.Conv)
-DW_STENCIL = True
+DW_STENCIL = False
 
 # Backward-attribution knob (perf tooling only — tools/bench_train_sweep.py):
 # gate names placed here get jax.lax.stop_gradient, so their FORWARD cost
