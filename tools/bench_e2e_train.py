@@ -101,6 +101,8 @@ def main(argv=None):
                     num_workers=args.workers, drop_last=True)
 
     # --- host-only decode rate (one core does the work in-process) ------
+    train_ds[0]  # warm: native .so load + per-process one-time setup must
+    # not be billed to the timed clips (bench_host_loader.py does the same)
     t0 = time.perf_counter()
     n_host = min(2 * args.batch, len(train_ds))
     for i in range(n_host):
