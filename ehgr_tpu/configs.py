@@ -45,6 +45,12 @@ class DataConfig:
     # decode->resize->crop library (bit-exact vs PIL, PIL fallback per clip);
     # 'synthetic' generates random frames
     backend: str = "pil"
+    # synthetic backend only: 'random' = class-biased noise clips (fast,
+    # shape/compile coverage); 'motion' = LearnableClipSource moving-patch
+    # clips whose label encodes motion direction (+ color) — the
+    # end-to-end learnability proof task
+    synthetic_task: str = "random"
+    synthetic_videos: int = 64
 
 
 @dataclass(frozen=True)

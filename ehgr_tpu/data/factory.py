@@ -8,7 +8,7 @@ from typing import Tuple
 from ehgr_tpu.configs import Config
 from ehgr_tpu.data.datasets import (DistillDataset, InferenceDataset,
                                     MTMMDataset, OriginalDataset)
-from ehgr_tpu.data.synthetic import SyntheticClipSource
+from ehgr_tpu.data.synthetic import LearnableClipSource, SyntheticClipSource
 from ehgr_tpu.ops import spatial_transforms as st
 
 _STAGE_DATASET = {
@@ -73,12 +73,15 @@ def build_train_datasets(cfg: Config, stage: str,
                          train_plus_val: bool = True) -> Tuple:
     """(train_ds, val_ds) for a stage; 'synthetic' backend needs no disk."""
     if cfg.data.backend == "synthetic":
-        mk = lambda n, seed: SyntheticClipSource(
+        src = (LearnableClipSource if cfg.data.synthetic_task == "motion"
+               else SyntheticClipSource)
+        nv = cfg.data.synthetic_videos
+        mk = lambda n, seed: src(
             n_videos=n, clip_len=cfg.data.clip_len,
             size=(cfg.data.train_crop, cfg.data.train_crop),
             num_classes=cfg.data.num_classes,
             fields=_STAGE_FIELDS[stage] + ("label",), seed=seed)
-        return mk(64, cfg.run.seed), mk(16, cfg.run.seed + 1)
+        return mk(nv, cfg.run.seed), mk(max(nv // 4, 16), cfg.run.seed + 1)
 
     cls = _STAGE_DATASET[stage]
     train_mode = "train_plus_val" if (
@@ -101,11 +104,14 @@ def build_train_datasets(cfg: Config, stage: str,
 def build_test_dataset(cfg: Config, multiple_clip_test: bool = True):
     """The multi-clip test protocol dataset (``test.py:237-284``)."""
     if cfg.data.backend == "synthetic":
-        return SyntheticClipSource(
-            n_videos=32, clip_len=cfg.data.clip_len,
+        src = (LearnableClipSource if cfg.data.synthetic_task == "motion"
+               else SyntheticClipSource)
+        return src(
+            n_videos=max(cfg.data.synthetic_videos // 2, 32),
+            clip_len=cfg.data.clip_len,
             size=(cfg.data.crop_size, cfg.data.crop_size),
             num_classes=cfg.data.num_classes, fields=("rgb", "label"),
-            seed=cfg.run.seed, clip_num=cfg.data.clip_num)
+            seed=cfg.run.seed + 7, clip_num=cfg.data.clip_num)
     return InferenceDataset(
         cfg.data.annot_path, "test",
         spatial_transform=test_spatial_transform(cfg),

@@ -109,6 +109,114 @@ def make_synthetic_nv_tree(root: str, n_videos: int = 6,
     return root
 
 
+_DIRS = np.array([(0, 1), (0, -1), (1, 0), (-1, 0),
+                  (1, 1), (1, -1), (-1, 1), (-1, -1)], np.int32)  # (dy, dx)
+
+
+def _color_palette(n: int) -> np.ndarray:
+    """n maximally-separated saturated RGB colors (hue wheel)."""
+    import colorsys
+    cols = [colorsys.hsv_to_rgb(i / max(n, 1), 1.0, 1.0) for i in range(n)]
+    return (np.array(cols) * 255).astype(np.uint8)
+
+
+class LearnableClipSource:
+    """Moving-patch clips whose label is a DETERMINISTIC function of the
+    clip's content — the end-to-end learnability proxy (VERDICT r3 #2).
+
+    Each video shows one bright square patch translating at constant
+    velocity over a noise background.  ``label = color_idx * n_dirs +
+    dir_idx``: the motion direction indexes ``_DIRS`` (8 compass
+    directions) and, when ``num_classes > 8``, the patch color carries the
+    remaining bits.  Decoding the direction requires TEMPORAL reasoning
+    (the ACTION/TSM path); color is a spatial cue.  A recipe that cannot
+    learn this task has a label/loader/collate/sharding misalignment that
+    trajectory-parity tests cannot see — the reference's own value is its
+    learning dynamics (``/root/reference/train_sd.py:262-282``).
+
+    Depth fields localize the patch (bright square on dark ground) and
+    move WITH it, so the MTMM next-segment depth loss
+    (``/root/reference/train_mtmm.py:223-231``) is genuinely predictive:
+    ``n_depth`` renders the patch one velocity step ahead of ``rgb``,
+    mirroring the reference's ``selected_indice[1:] + [last+1]`` contract
+    (``data/dataset_EgoGesture.py:190-192``).
+    """
+
+    def __init__(self, n_videos: int = 256, clip_len: int = 8,
+                 size: Tuple[int, int] = (64, 64), num_classes: int = 16,
+                 fields: Tuple[str, ...] = ("rgb", "label"), seed: int = 0,
+                 clip_num: int = 0, noise: int = 96):
+        assert num_classes <= 8 * 32, num_classes
+        self.n = n_videos
+        self.t = clip_len
+        self.h, self.w = size
+        self.num_classes = num_classes
+        self.fields = fields
+        self.clip_num = clip_num
+        self.noise = noise
+        self.n_dirs = min(num_classes, len(_DIRS))
+        n_colors = -(-num_classes // self.n_dirs)  # ceil
+        self.palette = (_color_palette(n_colors) if n_colors > 1
+                        else np.array([[255, 255, 255]], np.uint8))
+        self.patch = max(6, self.h // 5)
+        # keep the whole T+1-step trajectory in frame: travel <= min(h,w)
+        # minus patch minus a start margin
+        self.vel = max(2, (min(self.h, self.w) - self.patch - 4)
+                       // (clip_len + 1))
+        # balanced labels: idx round-robins the classes
+        self.labels = (np.arange(n_videos) % num_classes).astype(np.int32)
+        self._seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def _positions(self, rng, d: np.ndarray) -> np.ndarray:
+        """Start position uniform in the box that keeps t=0..T in bounds."""
+        travel = self.vel * self.t  # n_depth needs position at t=T
+        pos = np.empty(2, np.int32)
+        for ax, lim in ((0, self.h), (1, self.w)):
+            lo = travel if d[ax] < 0 else 0
+            hi = lim - self.patch - (travel if d[ax] > 0 else 0)
+            pos[ax] = rng.integers(lo, max(lo + 1, hi + 1))
+        steps = np.arange(self.t + 1, dtype=np.int32)
+        return pos[None, :] + steps[:, None] * self.vel * d[None, :]
+
+    def _render(self, rng, label: int):
+        """One clip: rgb [T,h,w,3], depth [T,h,w,1], n_depth [T,h,w,1]."""
+        d = _DIRS[label % self.n_dirs]
+        color = self.palette[label // self.n_dirs]
+        pos = self._positions(rng, d)                     # [T+1, 2]
+        rgb = rng.integers(0, self.noise, (self.t, self.h, self.w, 3),
+                           dtype=np.uint8)
+        dep = rng.integers(20, 60, (self.t + 1, self.h, self.w, 1),
+                           dtype=np.uint8)
+        p = self.patch
+        for t in range(self.t + 1):
+            y, x = pos[t]
+            if t < self.t:
+                rgb[t, y:y + p, x:x + p] = color
+            dep[t, y:y + p, x:x + p] = 220
+        return rgb, dep[:-1], dep[1:]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        label = int(self.labels[idx])
+        out: Dict[str, np.ndarray] = {"label": np.int32(label)}
+        k = self.clip_num or 1
+        clips = [self._render(rng, label) for _ in range(k)]
+        rgb = np.stack([c[0] for c in clips])
+        out["rgb"] = rgb if self.clip_num else rgb[0]
+        # depth fields are only consumed clip_num-less (train stages)
+        if "depth" in self.fields or "depth_est" in self.fields:
+            for name in ("depth", "depth_est"):
+                if name in self.fields:
+                    out[name] = clips[0][1]
+        for name in ("n_depth", "n_depth_est"):
+            if name in self.fields:
+                out[name] = clips[0][2]
+        return out
+
+
 class SyntheticClipSource:
     """In-memory dataset with the same mapping interface as
     ``ehgr_tpu.data.datasets`` classes; fields selectable per stage."""

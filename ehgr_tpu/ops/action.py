@@ -46,6 +46,26 @@ class _Kernel1x1(nn.Module):
                           self.shape)
 
 
+class _BNVars(nn.Module):
+    """Bare BatchNorm param/stat holder mirroring ``models.norm.BatchNorm``'s
+    tree (``scale``/``bias`` params + ``batch_stats/{mean,var}``) so the
+    custom-VJP path keeps checkpoint-identical trees."""
+
+    feat: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.feat,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
 def _shift_zero(x: jnp.ndarray, axis: int, d: int) -> jnp.ndarray:
     """``out[i] = x[i+d]`` along ``axis``, zero-filled at the edges (the
     'SAME' zero-padding convention of torch/lax convs)."""
@@ -185,6 +205,41 @@ class ActionConv(nn.Module):
             self.fused, self.fused)
         use_mega = mode == "mega" and not train and self.features > 0
         use_prologue = mode == "prologue" and not train
+
+        if mode == "vjp" and self.features > 0 and not self.quantize:
+            # Hand-structured custom-VJP gate block (training backward
+            # optimization, docs/PERF.md round 4): identical forward math,
+            # backward recomputes x_shift/gated and fuses the four
+            # d(x_shift) contributions into one expression.  Param tree
+            # mirrors the submodule formulation exactly (same paths/inits),
+            # so checkpoints are mode-agnostic.
+            from ehgr_tpu.ops.action_vjp import (make_action_region,
+                                                 region_params)
+
+            w_sq = _Kernel1x1((c, reduced), name="p2_squeeze")()
+            k_ce = _Kernel1x1((3, reduced, reduced), name="p2_conv1")()
+            w_exp = _Kernel1x1((reduced, c), name="p2_expand")()
+            k_dw = _Kernel1x1((3, 3, 1, reduced), name="p3_conv1")()
+            w_me = _Kernel1x1((reduced, c), name="p3_expand")()
+            scale, bias, ra_mean, ra_var = _BNVars(reduced, name="p3_bn1")()
+            bn_train = train and not self.bn_frozen
+            region = make_action_region(bn_train=bn_train, dtype=self.dtype)
+            params = region_params(dict(
+                shift_w=shift_w, w_p3=w_p3, k_p1=k_p1, w_net=w_net,
+                w_sq=w_sq, k_ce=k_ce, w_exp=w_exp, k_dw=k_dw, w_me=w_me,
+                bn_scale=scale, bn_bias=bias,
+                bn_mean=ra_mean.value, bn_var=ra_var.value))
+            out, m, v = region(x5, params)
+            if bn_train and not self.is_initializing():
+                # torch's unbiased running-var update (models/norm.py)
+                cnt = nt * h * w
+                corr = cnt / max(cnt - 1, 1)
+                mom = 0.9
+                m = jax.lax.stop_gradient(m)
+                v = jax.lax.stop_gradient(v)
+                ra_mean.value = mom * ra_mean.value + (1.0 - mom) * m
+                ra_var.value = mom * ra_var.value + (1.0 - mom) * (v * corr)
+            return out
 
         g1 = x_shift5 = None
         if use_mega:
