@@ -76,9 +76,14 @@ def _bench_train(jax, jnp, t, hw, batch=16, warmup=2, iters=12):
     from ehgr_tpu.train.optim import build_optimizer
     from ehgr_tpu.train.steps import create_train_state, make_train_step
 
+    # action_fused='vjp': the round-4 fused gate-backward (ops/action_vjp.py)
+    # — one sweep recomputes the gates and accumulates all four d(x_shift)
+    # contributions; chip A/B (runs/round4_action_vjp.json): b16 108.5 vs
+    # 104.9 clips/s for the default XLA backward, b32 94.3 vs 93.0.
     model = variant("tsn_mtmm", num_class=83, num_segments=t,
                     base_model="resnet50", temporal="action",
-                    partial_bn=False, dtype=jnp.bfloat16)
+                    partial_bn=False, dtype=jnp.bfloat16,
+                    action_fused="vjp")
     x0 = jnp.zeros((2, t, hw, hw, 3), jnp.float32)
     init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
     variables = init_fn({"params": jax.random.key(0)}, x0)

@@ -2,6 +2,8 @@
 program through the on-disk artifact and pin its outputs against the live
 jitted function — no model code on the load side."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -77,6 +79,56 @@ class TestServingExport:
                                 jnp.uint8)
             got = np.asarray(loaded(clips))
             np.testing.assert_array_equal(got, np.asarray(fn(clips)))
+
+    @pytest.mark.tpu
+    @pytest.mark.skipif(os.environ.get("EHGR_TPU_TESTS") != "1",
+                        reason="needs the real chip; set EHGR_TPU_TESTS=1")
+    def test_tpu_artifact_runs_on_chip(self, tmp_path):
+        """Export-for-TPU -> reload -> execute on the real chip (VERDICT r3
+        next #4).  Runs in a subprocess so conftest's cpu-platform override
+        doesn't apply; the parent suite stays on the CPU mesh."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent("""
+            import torch  # noqa: F401  (torch before jax; CLAUDE.md)
+            import numpy as np
+            import jax, jax.numpy as jnp
+            from ehgr_tpu.models.tsn import variant
+            from ehgr_tpu.serve import (export_artifact, load_artifact,
+                                        make_clip_scorer, save_artifact)
+            assert jax.devices()[0].platform == "tpu", jax.devices()
+            T, HW, CLS = 4, 32, 7
+            model = variant("tsn", num_class=CLS, num_segments=T,
+                            temporal="action", partial_bn=False)
+            x = jnp.zeros((1, T, HW, HW, 3), jnp.float32)
+            variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+                {"params": jax.random.key(0)}, x)
+            fn = make_clip_scorer(model, variables,
+                                  mean=(0.485, 0.456, 0.406),
+                                  std=(0.229, 0.224, 0.225),
+                                  dtype_name="float32")
+            exported = export_artifact(fn, (3, T, HW, HW, 3),
+                                       platforms=("tpu",))
+            path = %r
+            save_artifact(path, exported, {"arch": "tsn"})
+            loaded, manifest = load_artifact(path)
+            assert manifest["platforms"] == ["tpu"], manifest
+            clips = jnp.asarray(np.random.default_rng(0).integers(
+                0, 256, (3, T, HW, HW, 3)), jnp.uint8)
+            got = np.asarray(loaded(clips))
+            want = np.asarray(fn(clips))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+            print("TPU_ARTIFACT_OK", float(np.max(np.abs(got - want))))
+        """) % str(tmp_path / "tpu.ehgrx")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+        res = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "TPU_ARTIFACT_OK" in res.stdout, res.stdout
 
     def test_bad_magic_raises(self, tmp_path):
         path = str(tmp_path / "junk.ehgrx")
