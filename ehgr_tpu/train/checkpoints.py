@@ -67,7 +67,8 @@ def load_for_model(path: str, variables: Dict, strict: bool = False) -> Dict:
     an initialized variable tree (non-strict by default)."""
     if os.path.isdir(path):
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path)
+            restored = ckptr.restore(os.path.abspath(path))  # orbax rejects
+            # relative paths at restore time (save abspaths in the manager)
         # full TrainState checkpoints: pull the variable collections out
         if "params" in restored and "step" in restored:
             src = {"params": restored["params"],

@@ -89,6 +89,20 @@ class TestCheckpointRoundtrip:
         b = jax.tree.leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_load_for_model_relative_path(self, tmp_path, monkeypatch):
+        # Regression (round-4 chip queue): dress_rehearsal passes the stage-1
+        # run_dir verbatim; a RELATIVE --out made orbax restore raise
+        # "Checkpoint path should be absolute" inside load_for_model.
+        from ehgr_tpu.train.checkpoints import CheckpointManager, load_for_model
+
+        src = {"params": {"a": np.ones(3, np.float32)}}
+        CheckpointManager(str(tmp_path / "run"), "rt").save("best", src)
+        monkeypatch.chdir(tmp_path)
+        dst = {"params": {"a": np.zeros(3, np.float32),
+                          "b": np.zeros(2, np.float32)}}
+        merged = load_for_model(os.path.join("run", "rt_best_ckpt"), dst)
+        np.testing.assert_array_equal(merged["params"]["a"], 1)
+
     def test_merge_variables_nonstrict(self):
         from ehgr_tpu.train.checkpoints import merge_variables
 

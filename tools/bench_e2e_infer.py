@@ -124,7 +124,10 @@ def main(argv=None):
         return jnp.mean(probs.reshape(v, k, -1), axis=1)
 
     # --- device-only reference rate (resident synthetic batch) -----------
-    V = args.videos_per_batch
+    # Only subject 2 of the tree's (5, 6, 1, 2) is in the EgoGesture test
+    # split (annotations.py:24), so the test set can be smaller than the
+    # requested batch; clamp or drop_last=True yields ZERO batches.
+    V = max(1, min(args.videos_per_batch, len(ds)))
     rng = np.random.default_rng(3)
     bdev = jnp.asarray(rng.integers(0, 256, (V, K, T, HW, HW, 3)), jnp.uint8)
     for _ in range(2):
