@@ -8,13 +8,17 @@ taps, RefineNet-style fusion decoder), jittable and BATCHED — the
 reference predicts one frame at a time on GPU; here whole clips fold into
 one device call.
 
-Weight ingestion: ``convert_midas_state_dict`` maps the official MiDaS
-checkpoint layout (``dpt_large-midas-2f21e586.pt``: ``pretrained.model.*``
-timm ViT names + ``pretrained.act_postprocess{1-4}`` reassemble +
-``scratch.*`` decoder) onto this tree.  The hub download itself is
-env-blocked here (no network egress), so the converter is exercised on a
-synthetically-shaped state dict (``tests/test_dpt.py``), the same gate as
-the VideoMAE converter.
+Weight ingestion — two independent paths:
+* ``convert_midas_state_dict`` maps the official MiDaS checkpoint layout
+  (``dpt_large-midas-2f21e586.pt``: ``pretrained.model.*`` timm ViT names
+  + ``pretrained.act_postprocess{1-4}`` reassemble + ``scratch.*``
+  decoder) onto this tree.  The hub download itself is env-blocked here
+  (no network egress), so that converter is exercised on a
+  synthetically-shaped state dict (``tests/test_dpt.py``).
+* ``convert_hf_dpt`` maps ``transformers.DPTForDepthEstimation`` weights
+  (``Intel/dpt-large`` ships the same MiDaS weights) — validated against
+  the REAL HF module end-to-end (``tests/test_dpt.py`` tiny-config logits
+  parity, no network needed).
 
 Architecture (MiDaS v3 ``dpt/models.py`` + ``dpt/vit.py``, public):
 * ViT-L/16: patch 16, embed 1024, depth 24, heads 16, learned pos-embed
@@ -278,17 +282,16 @@ def midas_key_map(cfg: DPT) -> dict:
     return m
 
 
-def convert_midas_state_dict(state_dict, variables, cfg: DPT = None):
-    """Map an official MiDaS DPT state dict onto ``DPT`` variables.
-    Returns (new_variables, unused_torch_keys)."""
+def _apply_key_map(state_dict, variables, kmap):
+    """Shared conversion loop: walk ``state_dict``, transpose per ``kind``
+    ('dense' [out,in]->[in,out]; 'conv' OIHW->HWIO; 'tconv' IOHW->HWOI —
+    torch ConvTranspose2d weight is [in, out, kh, kw]; 'raw' as-is), and
+    write into a copy of ``variables['params']``.  Returns
+    (new_variables, unused_torch_keys)."""
     import numpy as np
 
-    cfg = cfg or dpt_large()
-    kmap = midas_key_map(cfg)
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])
     unused = []
-    state_dict = {(k[len("module."):] if k.startswith("module.") else k): v
-                  for k, v in state_dict.items()}
     for tk, v in state_dict.items():
         if tk not in kmap:
             unused.append(tk)
@@ -301,8 +304,6 @@ def convert_midas_state_dict(state_dict, variables, cfg: DPT = None):
         elif kind == "conv":
             arr = arr.transpose(2, 3, 1, 0)
         elif kind == "tconv":
-            # torch ConvTranspose2d weight is [in, out, kh, kw]; flax
-            # ConvTranspose expects HWIO
             arr = arr.transpose(2, 3, 0, 1)
         node = params
         for p in path[:-1]:
@@ -311,3 +312,113 @@ def convert_midas_state_dict(state_dict, variables, cfg: DPT = None):
             (tk, node[path[-1]].shape, arr.shape)
         node[path[-1]] = jnp.asarray(arr)
     return {**variables, "params": params}, unused
+
+
+def convert_midas_state_dict(state_dict, variables, cfg: DPT = None):
+    """Map an official MiDaS DPT state dict onto ``DPT`` variables.
+    Returns (new_variables, unused_torch_keys)."""
+    cfg = cfg or dpt_large()
+    state_dict = {(k[len("module."):] if k.startswith("module.") else k): v
+                  for k, v in state_dict.items()}
+    return _apply_key_map(state_dict, variables, midas_key_map(cfg))
+
+
+def hf_dpt_key_map(cfg: DPT) -> dict:
+    """{HF ``DPTForDepthEstimation`` state-dict key -> (flax path, kind)}.
+
+    HuggingFace ``Intel/dpt-large`` carries the SAME weights as the MiDaS
+    ``dpt_large-midas-2f21e586.pt`` hub checkpoint the reference uses
+    (``preprocess/generate_pseudo_depth_ego.py:15``), under
+    ``transformers.models.dpt.modeling_dpt`` names — a second, independently
+    reachable ingestion path for real pretrained weights.  The q/k/v
+    Linears are separate in HF (fused ``qkv`` here); ``convert_hf_dpt``
+    pre-fuses them before this 1:1 map applies.  HF's ``dpt.layernorm`` is
+    applied only to the final sequence output (modeling_dpt.py
+    ``DPTModel.forward``), never to the tapped hidden states the neck
+    consumes, so it is correctly reported unused; likewise fusion layer 0's
+    ``residual_layer1`` (created, never called — the MiDaS quirk)."""
+    m = {}
+    E = "dpt.embeddings."
+    m[E + "cls_token"] = (("cls_token",), "raw")
+    m[E + "position_embeddings"] = (("pos_embed",), "raw")
+    m[E + "patch_embeddings.projection.weight"] = \
+        (("patch_embed", "kernel"), "conv")
+    m[E + "patch_embeddings.projection.bias"] = \
+        (("patch_embed", "bias"), "raw")
+    for i in range(cfg.depth):
+        L, b = f"dpt.encoder.layer.{i}.", (f"block{i}",)
+        m[L + "layernorm_before.weight"] = (b + ("norm1", "scale"), "raw")
+        m[L + "layernorm_before.bias"] = (b + ("norm1", "bias"), "raw")
+        m[L + "layernorm_after.weight"] = (b + ("norm2", "scale"), "raw")
+        m[L + "layernorm_after.bias"] = (b + ("norm2", "bias"), "raw")
+        m[L + "attention.output.dense.weight"] = \
+            (b + ("attn_proj", "kernel"), "dense")
+        m[L + "attention.output.dense.bias"] = \
+            (b + ("attn_proj", "bias"), "raw")
+        m[L + "intermediate.dense.weight"] = (b + ("fc1", "kernel"), "dense")
+        m[L + "intermediate.dense.bias"] = (b + ("fc1", "bias"), "raw")
+        m[L + "output.dense.weight"] = (b + ("fc2", "kernel"), "dense")
+        m[L + "output.dense.bias"] = (b + ("fc2", "bias"), "raw")
+    up = {1: ("up1", "tconv"), 2: ("up2", "tconv"), 4: ("down4", "conv")}
+    for k in range(1, 5):
+        R = f"neck.reassemble_stage.readout_projects.{k - 1}.0."
+        m[R + "weight"] = ((f"readout{k}", "kernel"), "dense")
+        m[R + "bias"] = ((f"readout{k}", "bias"), "raw")
+        A = f"neck.reassemble_stage.layers.{k - 1}."
+        m[A + "projection.weight"] = ((f"reassemble{k}", "kernel"), "conv")
+        m[A + "projection.bias"] = ((f"reassemble{k}", "bias"), "raw")
+        if k in up:
+            name, kind = up[k]
+            m[A + "resize.weight"] = ((name, "kernel"), kind)
+            m[A + "resize.bias"] = ((name, "bias"), "raw")
+        m[f"neck.convs.{k - 1}.weight"] = ((f"layer{k}_rn", "kernel"), "conv")
+        # fusion_stage.layers[0] consumes the DEEPEST feature (refinenet4)
+        F = f"neck.fusion_stage.layers.{4 - k}."
+        r = (f"refinenet{k}",)
+        units = (("residual_layer2", "res2"),) if k == 4 else \
+            (("residual_layer1", "res1"), ("residual_layer2", "res2"))
+        for tn, fn in units:
+            for tc, fc in (("convolution1", "conv1"), ("convolution2",
+                                                       "conv2")):
+                m[F + f"{tn}.{tc}.weight"] = (r + (fn, fc, "kernel"), "conv")
+                m[F + f"{tn}.{tc}.bias"] = (r + (fn, fc, "bias"), "raw")
+        m[F + "projection.weight"] = (r + ("out_conv", "kernel"), "conv")
+        m[F + "projection.bias"] = (r + ("out_conv", "bias"), "raw")
+    for tn, fn in (("0", "head_conv1"), ("2", "head_conv2"),
+                   ("4", "head_conv3")):
+        m[f"head.head.{tn}.weight"] = ((fn, "kernel"), "conv")
+        m[f"head.head.{tn}.bias"] = ((fn, "bias"), "raw")
+    return m
+
+
+def convert_hf_dpt(state_dict, variables, cfg: DPT = None):
+    """Map an HF ``DPTForDepthEstimation`` state dict (e.g.
+    ``Intel/dpt-large`` — the same weights as the reference's MiDaS hub
+    checkpoint) onto ``DPT`` variables.  Returns
+    (new_variables, unused_torch_keys)."""
+    import numpy as np
+
+    cfg = cfg or dpt_large()
+    sd = {k: np.asarray(v.detach().cpu().numpy()
+                        if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    # pre-fuse the separate q/k/v Linears into the flax fused-qkv layout:
+    # kernel [in, 3*dim] = [q.T | k.T | v.T], bias likewise concatenated
+    for i in range(cfg.depth):
+        A = f"dpt.encoder.layer.{i}.attention.attention."
+        try:
+            w = [sd.pop(A + f"{n}.weight") for n in ("query", "key",
+                                                     "value")]
+            b = [sd.pop(A + f"{n}.bias") for n in ("query", "key", "value")]
+        except KeyError as e:  # pragma: no cover - malformed checkpoint
+            raise KeyError(f"HF DPT checkpoint missing q/k/v at layer {i}: "
+                           f"{e}") from e
+        sd[f"__fused_qkv{i}.kernel"] = np.concatenate(
+            [x.T for x in w], axis=1)
+        sd[f"__fused_qkv{i}.bias"] = np.concatenate(b)
+    kmap = hf_dpt_key_map(cfg)
+    for i in range(cfg.depth):
+        kmap[f"__fused_qkv{i}.kernel"] = \
+            ((f"block{i}", "qkv", "kernel"), "raw")
+        kmap[f"__fused_qkv{i}.bias"] = ((f"block{i}", "qkv", "bias"), "raw")
+    return _apply_key_map(sd, variables, kmap)
