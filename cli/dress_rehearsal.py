@@ -149,7 +149,12 @@ def main(argv=None):
                                         and report["exits_ordered"])
     report["ok"] = True
 
-    if not args.out:
+    if args.out:
+        # the committed-record contract (VERDICT r3 next #7): the report
+        # lands next to the run dirs, not only on stdout
+        with open(os.path.join(out_dir, "rehearsal_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+    else:
         shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps(report))
     return report

@@ -28,7 +28,7 @@ import sys
 
 # Measured single-chip rates (docs/PERF.md; bench.py on the real chip).
 # Estimates scale from these — update when the bench moves.
-TRAIN_CLIPS_PER_S = 104.0         # MTMM train step, batch 16 peak (round 3)
+TRAIN_CLIPS_PER_S = 108.5         # MTMM train step, b16 peak, fused VJP (r4)
 EVAL_CLIPS_PER_S = 470.0          # inference protocol rate
 EGO_TRAIN_CLIPS = 19_184          # train_plus_val (BASELINE.md)
 EGO_TEST_VIDEOS = 2_081

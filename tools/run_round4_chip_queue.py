@@ -35,8 +35,12 @@ OUT = os.path.join(REPO, "runs", "round4_chip_queue.jsonl")
 
 JOBS = [
     ("action_vjp", [sys.executable, "tools/bench_action_vjp.py"], 2400),
+    # lr/epochs from the round-4 probe sweep (tools/probe_learnable.py,
+    # runs/round4_learnable_probe/): lr 0.02 reached 36% val in 8 epochs and
+    # was still accelerating; 15 epochs at the old lr 0.01 topped out at 28%.
     ("learnable_rehearsal",
      [sys.executable, "cli/dress_rehearsal.py", "--learnable",
+      "--lr", "0.02", "--epochs", "36",
       "--out", "runs/round4_learnable"], 7200),
     ("serving", [sys.executable, "tools/bench_serving.py"], 3600),
     ("e2e_infer", [sys.executable, "tools/bench_e2e_infer.py"], 3600),
