@@ -29,6 +29,24 @@ from ehgr_tpu.train.steps import (create_train_state, make_eval_step,
                                   make_train_step)
 from ehgr_tpu.utils.meters import AverageMeter, StepTimer
 
+
+def fetch_scalar(x, retries: int = 2) -> float:
+    """``float(x)`` with bounded retries: the TPU tunnel occasionally throws
+    a transient FAILED_PRECONDITION on device->host reads (CLAUDE.md); a
+    re-read succeeds when it was an RPC blip rather than a backend restart.
+    A round-4 learnable probe died exactly here mid-epoch on one blip."""
+    for attempt in range(retries + 1):
+        try:
+            return float(x)
+        except jax.errors.JaxRuntimeError:
+            if attempt == retries:
+                raise
+            logging.getLogger(__name__).warning(
+                "transient device read failure; retrying (%d left)",
+                retries - attempt)
+            time.sleep(2.0)
+
+
 def setup_run_dir(cfg: Config, stage: str) -> str:
     ts = time.strftime("%Y-%m-%d-%H-%M-%S")
     run_dir = os.path.join(cfg.run.run_dir, cfg.data.dataset, stage.upper(),
@@ -93,7 +111,7 @@ def validate(eval_step, state, loader, stage: str) -> Dict[str, float]:
                                 "label": jnp.asarray(batch["label"])})
         n += int(res.pop("n"))
         for k, v in res.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+            totals[k] = totals.get(k, 0.0) + fetch_scalar(v)
     return {k: 100.0 * v / max(n, 1) for k, v in totals.items()} | {"n": n}
 
 
@@ -177,8 +195,8 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
             b = select_batch(batch, stage, cfg.model.modal)
             state, metrics = step_fn(state, b, rng)
             n = int(b["label"].shape[0])
-            loss_m.update(float(metrics["loss"]), n)
-            top1_m.update(float(metrics["top1"]), n)
+            loss_m.update(fetch_scalar(metrics["loss"]), n)
+            top1_m.update(fetch_scalar(metrics["top1"]), n)
             timer.step_done()
             if (i + 1) % cfg.run.display == 0:
                 log.info(

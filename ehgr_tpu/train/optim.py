@@ -88,6 +88,13 @@ def label_params(params, fc_lr5: bool = True,
 class SgdPoliciesState(NamedTuple):
     step: jnp.ndarray           # global step counter
     momentum: Any               # momentum buffer tree
+    hyper: Any = None           # schedule scalars (see sgd_policies)
+
+
+# lr_steps is carried as a fixed-width padded array so the compiled program
+# is independent of how many decay boundaries a run uses
+_MAX_LR_STEPS = 8
+_LR_STEP_PAD = 2 ** 30          # an epoch no run ever reaches
 
 
 def step_decay_factor(epoch: jnp.ndarray, lr_steps: Sequence[int],
@@ -102,20 +109,47 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
                  lr_steps: Sequence[int] = (10, 15, 20), gamma: float = 0.1,
                  steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """Build the policy optimizer.  ``labels`` from ``label_params``;
-    the epoch for the decay schedule is derived from the step counter."""
-    # host-side python scalars: embedded into the jit trace as literals,
-    # never fetched from the device during tracing
-    mults = jax.tree.map(lambda lab: GROUPS[lab][0], labels)
+    the epoch for the decay schedule is derived from the step counter.
+
+    TPU-first detail: every schedule hyperparameter (base lr, decay
+    boundaries, gamma, steps/epoch, momentum, weight decay) lives in the
+    OPTIMIZER STATE as scalar arrays, not in the traced program.  Baked-in
+    constants made every lr/epoch tweak a distinct XLA program — a full
+    train-step recompile (~10 min through the TPU tunnel) per hyperparameter
+    change; as state leaves, one compiled executable serves all schedules
+    and the persistent jit cache hits across runs.  The math is bit-exact
+    with the constant version: the per-GROUP lr (base_lr x multiplier) is
+    rounded to f32 on the host exactly where the old trace baked it, and
+    the group multipliers/decay masks stay compile-time literals."""
+    assert len(lr_steps) <= _MAX_LR_STEPS, lr_steps
+    # per-leaf STRUCTURE stays literal (it is architecture, not schedule):
+    # decay masks are exact {0,1} and group lrs index the hyper dict
     decays = jax.tree.map(lambda lab: GROUPS[lab][1], labels)
+
+    import numpy as np
+    padded = tuple(lr_steps) + (_LR_STEP_PAD,) * (_MAX_LR_STEPS
+                                                  - len(lr_steps))
+    hyper0 = {
+        # f32(base_lr * mult) on host == the f32 literal the old trace used
+        "group_lr": {g: jnp.asarray(np.float32(base_lr * m), jnp.float32)
+                     for g, (m, _) in GROUPS.items()},
+        "momentum": jnp.asarray(np.float32(momentum), jnp.float32),
+        "weight_decay": jnp.asarray(np.float32(weight_decay), jnp.float32),
+        "gamma": jnp.asarray(np.float32(gamma), jnp.float32),
+        "lr_steps": jnp.asarray(padded, jnp.int32),
+        "steps_per_epoch": jnp.asarray(steps_per_epoch, jnp.int32),
+    }
 
     def init(params):
         return SgdPoliciesState(
             step=jnp.zeros((), jnp.int32),
-            momentum=jax.tree.map(jnp.zeros_like, params))
+            momentum=jax.tree.map(jnp.zeros_like, params),
+            hyper=hyper0)
 
     def update(grads, state, params=None):
         assert params is not None
-        epoch = state.step // steps_per_epoch
+        hp = state.hyper
+        epoch = state.step // hp["steps_per_epoch"]
         # The reference calls ``adjust_learning_rate(…, epoch, lr_steps)`` at
         # the END of each epoch (train_mtmm.py:612-613), so the decay computed
         # from epoch e first applies during epoch e+1: with lr_steps=[10,…]
@@ -123,15 +157,17 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
         # one (verified against runs/EgoGesture/MTMM/…/train.log epochs
         # 10→11: 0.00125→0.00013).  Hence the factor for the CURRENT epoch
         # is the utils.py:39-46 formula evaluated at epoch-1.
-        factor = step_decay_factor(epoch - 1, lr_steps, gamma)
+        factor = hp["gamma"] ** jnp.sum((epoch - 1) >= hp["lr_steps"])
 
+        wd = hp["weight_decay"]
         new_buf = jax.tree.map(
-            lambda g, p, buf, dm: momentum * buf + g + weight_decay * dm * p,
+            lambda g, p, buf, dm: hp["momentum"] * buf + g + wd * dm * p,
             grads, params, state.momentum, decays)
         updates = jax.tree.map(
-            lambda buf, lm: -(base_lr * lm * factor) * buf, new_buf, mults)
+            lambda buf, lab: -(hp["group_lr"][lab] * factor) * buf,
+            new_buf, labels)
         return updates, SgdPoliciesState(step=state.step + 1,
-                                         momentum=new_buf)
+                                         momentum=new_buf, hyper=hp)
 
     return optax.GradientTransformation(init, update)
 

@@ -43,3 +43,40 @@ class TestMetricsLogger:
         lines = [json.loads(l) for l in open(ml.path)]
         assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
         assert len(lines) == 2
+
+
+class TestFetchScalar:
+    """fetch_scalar retries transient tunnel read failures (CLAUDE.md; a
+    round-4 learnable probe died on one blip at the loss fetch)."""
+
+    def test_retries_then_succeeds(self):
+        import jax
+
+        from ehgr_tpu.train.loop import fetch_scalar
+
+        class Flaky:
+            def __init__(self, fail_n):
+                self.left = fail_n
+
+            def __float__(self):
+                if self.left:
+                    self.left -= 1
+                    raise jax.errors.JaxRuntimeError(
+                        "FAILED_PRECONDITION: TPU backend error")
+                return 7.5
+
+        import time as _time
+        orig = _time.sleep
+        _time.sleep = lambda s: None  # no real backoff in tests
+        try:
+            assert fetch_scalar(Flaky(2)) == 7.5
+            import pytest
+            with pytest.raises(jax.errors.JaxRuntimeError):
+                fetch_scalar(Flaky(3))
+        finally:
+            _time.sleep = orig
+
+    def test_plain_value(self):
+        from ehgr_tpu.train.loop import fetch_scalar
+
+        assert fetch_scalar(3) == 3.0

@@ -153,3 +153,53 @@ class TestSchedule:
             updates, state = tx.update(grads, state, cur)
             applied.append(float(-updates["w"][0]))   # = lr used this epoch
         np.testing.assert_allclose(applied, [1.0, 1.0, 1.0, 0.1], rtol=1e-6)
+
+
+class TestScheduleAsState:
+    """Schedule hyperparameters live in the optimizer STATE, not the traced
+    program: any (lr, lr_steps, gamma, steps_per_epoch, momentum, wd) choice
+    must produce the IDENTICAL jaxpr — one compiled executable for every
+    schedule, so the persistent jit cache hits across hyperparameter changes
+    (full train-step recompiles cost ~10 min through the TPU tunnel)."""
+
+    def _jaxpr(self, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from ehgr_tpu.train.optim import label_params, sgd_policies
+
+        params = {"base_model": {"conv1": {"kernel": jnp.zeros((3, 3, 3, 4)),
+                                           "bias": jnp.zeros(4)}},
+                  "new_fc": {"kernel": jnp.zeros((4, 2)),
+                             "bias": jnp.zeros(2)}}
+        tx = sgd_policies(label_params(params), **kw)
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        return str(jax.make_jaxpr(
+            lambda g, s, p: tx.update(g, s, p))(grads, state, params))
+
+    def test_jaxpr_identical_across_schedules(self):
+        a = self._jaxpr(base_lr=0.01, lr_steps=(10,), gamma=0.1,
+                        steps_per_epoch=16, momentum=0.9, weight_decay=1e-5)
+        b = self._jaxpr(base_lr=0.04, lr_steps=(5, 9, 13), gamma=0.2,
+                        steps_per_epoch=128, momentum=0.8, weight_decay=1e-4)
+        assert a == b
+
+    def test_values_come_from_state(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ehgr_tpu.train.optim import label_params, sgd_policies
+
+        params = {"new_fc": {"kernel": jnp.ones((2, 2))}}
+        labels = label_params(params)
+        tx = sgd_policies(labels, base_lr=0.5, momentum=0.0,
+                          weight_decay=0.0, lr_steps=(100,),
+                          steps_per_epoch=1)
+        state = tx.init(params)
+        grads = {"new_fc": {"kernel": jnp.ones((2, 2))}}
+        upd, _ = tx.update(grads, state, params)
+        # fc kernel group is lr5_weight: lr = 0.5 * 5
+        np.testing.assert_allclose(np.asarray(upd["new_fc"]["kernel"]),
+                                   -2.5, rtol=1e-6)
