@@ -41,8 +41,9 @@ def main(argv=None):
     p.add_argument("--crop", type=int, default=224)
     p.add_argument("--classes", type=int, default=83)
     p.add_argument("--out", default="")
-    p.add_argument("--action_fused", default="",
-                   help="'' (XLA) | 'mega' inference kernel mode")
+    p.add_argument("--action_fused", default="vjp",
+                   help="'vjp' (train-fused backward, XLA eval — the "
+                        "config default) | 'none' (XLA) | 'mega'")
     # --learnable: the end-to-end LEARNING proof (VERDICT r3 #2).  Swaps the
     # random-label clips for LearnableClipSource (label = motion direction
     # + color) and trains each stage long enough to fit it; the same

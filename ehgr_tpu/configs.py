@@ -48,7 +48,9 @@ class DataConfig:
     # synthetic backend only: 'random' = class-biased noise clips (fast,
     # shape/compile coverage); 'motion' = LearnableClipSource moving-patch
     # clips whose label encodes motion direction (+ color) — the
-    # end-to-end learnability proof task
+    # end-to-end learnability proof task; 'motion_hard' = the
+    # discriminative variant (white target among colored distractors,
+    # dir x speed labels) whose SD exit accuracies order strictly
     synthetic_task: str = "random"
     synthetic_videos: int = 64
 
@@ -82,9 +84,13 @@ class ModelConfig:
     pretrain: str = "imagenet"           # 'imagenet' expects a converted ckpt; '' = random
     # per-block activation rematerialization for large-batch training
     remat: bool = False
-    # ACTION kernel mode at inference: None/'' (XLA) | 'prologue' | 'mega'
-    # (the two-sweep Pallas megakernel, ehgr_tpu/ops/pallas/action_mega.py)
-    action_fused: Optional[str] = None
+    # ACTION kernel mode: 'vjp' (default) = custom-VJP gate block at train
+    # (the round-4 fused backward, ops/action_vjp.py: 108.5 vs 104 clips/s
+    # on chip) with the pure-XLA path at eval; None/'' (XLA everywhere) |
+    # 'prologue' | 'mega' (two-sweep Pallas megakernel,
+    # ehgr_tpu/ops/pallas/action_mega.py).  Default 'vjp' so real training
+    # runs match the benched backward (ADVICE r4).
+    action_fused: Optional[str] = "vjp"
     # int8 MXU inference for backbone convs (ops/quantize.py; eval only,
     # resnet-only): False | 'dynamic' | 'static' (needs a calibration
     # pass; see ops/quantize.calibrate).  Measured: docs/PERF.md.
@@ -258,8 +264,9 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
                    choices=["pil", "native", "native_fast"],
                    help="host decode path (native = C++ fused decoder)")
     p.add_argument("--action_fused", default=None,
-                   choices=["prologue", "mega"],
-                   help="ACTION Pallas kernel mode at inference")
+                   choices=["prologue", "mega", "vjp", "none"],
+                   help="ACTION kernel mode (default: config 'vjp' = "
+                        "fused backward at train, XLA at eval)")
     p.add_argument("--action_stages", type=int, nargs="+", default=None,
                    help="stages carrying ACTION (placement ablation)")
     p.add_argument("--quantize", default=None,

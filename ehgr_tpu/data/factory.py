@@ -69,12 +69,23 @@ def test_spatial_transform(cfg: Config):
     raise ValueError(f"unsupported test_crops: {cfg.data.test_crops}")
 
 
+def _synthetic_source(cfg: Config):
+    """Map ``synthetic_task`` onto a clip-source constructor."""
+    import functools
+
+    task = cfg.data.synthetic_task
+    if task == "motion":
+        return LearnableClipSource
+    if task == "motion_hard":
+        return functools.partial(LearnableClipSource, hard=True)
+    return SyntheticClipSource
+
+
 def build_train_datasets(cfg: Config, stage: str,
                          train_plus_val: bool = True) -> Tuple:
     """(train_ds, val_ds) for a stage; 'synthetic' backend needs no disk."""
     if cfg.data.backend == "synthetic":
-        src = (LearnableClipSource if cfg.data.synthetic_task == "motion"
-               else SyntheticClipSource)
+        src = _synthetic_source(cfg)
         nv = cfg.data.synthetic_videos
         mk = lambda n, seed: src(
             n_videos=n, clip_len=cfg.data.clip_len,
@@ -104,8 +115,7 @@ def build_train_datasets(cfg: Config, stage: str,
 def build_test_dataset(cfg: Config, multiple_clip_test: bool = True):
     """The multi-clip test protocol dataset (``test.py:237-284``)."""
     if cfg.data.backend == "synthetic":
-        src = (LearnableClipSource if cfg.data.synthetic_task == "motion"
-               else SyntheticClipSource)
+        src = _synthetic_source(cfg)
         return src(
             n_videos=max(cfg.data.synthetic_videos // 2, 32),
             clip_len=cfg.data.clip_len,

@@ -112,6 +112,10 @@ def make_synthetic_nv_tree(root: str, n_videos: int = 6,
 _DIRS = np.array([(0, 1), (0, -1), (1, 0), (-1, 0),
                   (1, 1), (1, -1), (-1, 1), (-1, -1)], np.int32)  # (dy, dx)
 
+# hard-mode speed classes (px/frame): decoding 1 vs 3 px/frame needs
+# precise temporal integration, not just any-motion detection
+_HARD_SPEEDS = (1, 3)
+
 
 def _color_palette(n: int) -> np.ndarray:
     """n maximally-separated saturated RGB colors (hue wheel)."""
@@ -145,7 +149,8 @@ class LearnableClipSource:
     def __init__(self, n_videos: int = 256, clip_len: int = 8,
                  size: Tuple[int, int] = (64, 64), num_classes: int = 16,
                  fields: Tuple[str, ...] = ("rgb", "label"), seed: int = 0,
-                 clip_num: int = 0, noise: int = 96):
+                 clip_num: int = 0, noise: int = 96, hard: bool = False,
+                 distractors: int = 2, occlude: int = 0):
         assert num_classes <= 8 * 32, num_classes
         self.n = n_videos
         self.t = clip_len
@@ -154,11 +159,31 @@ class LearnableClipSource:
         self.fields = fields
         self.clip_num = clip_num
         self.noise = noise
+        self.hard = hard
+        self.occlude = occlude
         self.n_dirs = min(num_classes, len(_DIRS))
-        n_colors = -(-num_classes // self.n_dirs)  # ceil
-        self.palette = (_color_palette(n_colors) if n_colors > 1
-                        else np.array([[255, 255, 255]], np.uint8))
-        self.patch = max(6, self.h // 5)
+        if hard:
+            # hard variant (VERDICT r4 next #1): label = dir * speed of the
+            # single ACHROMATIC (white, brightness-jittered) patch; colored
+            # distractor patches move with independent dir/speed, so the
+            # pooled representation must bind "direction of the white one",
+            # not "any motion".  Smaller patch, target-only depth.  Built to
+            # reproduce the reference's strict exit ladder
+            # (90.62/91.92/94.96/95.26, runs/EgoGesture/SD/.../test.log:4)
+            # instead of the saturating round-4 task.
+            n_speeds = -(-num_classes // self.n_dirs)
+            assert n_speeds <= len(_HARD_SPEEDS), num_classes
+            self.speeds = _HARD_SPEEDS[:max(n_speeds, 1)]
+            self.distractors = distractors
+            self.palette = _color_palette(max(distractors, 1) * 2)
+            self.patch = max(5, self.h // 8)
+        else:
+            self.speeds = None
+            self.distractors = 0
+            n_colors = -(-num_classes // self.n_dirs)  # ceil
+            self.palette = (_color_palette(n_colors) if n_colors > 1
+                            else np.array([[255, 255, 255]], np.uint8))
+            self.patch = max(6, self.h // 5)
         # keep the whole T+1-step trajectory in frame: travel <= min(h,w)
         # minus patch minus a start margin
         self.vel = max(2, (min(self.h, self.w) - self.patch - 4)
@@ -170,27 +195,49 @@ class LearnableClipSource:
     def __len__(self):
         return self.n
 
-    def _positions(self, rng, d: np.ndarray) -> np.ndarray:
+    def _positions(self, rng, d: np.ndarray, vel: int) -> np.ndarray:
         """Start position uniform in the box that keeps t=0..T in bounds."""
-        travel = self.vel * self.t  # n_depth needs position at t=T
+        travel = vel * self.t  # n_depth needs position at t=T
         pos = np.empty(2, np.int32)
         for ax, lim in ((0, self.h), (1, self.w)):
             lo = travel if d[ax] < 0 else 0
             hi = lim - self.patch - (travel if d[ax] > 0 else 0)
             pos[ax] = rng.integers(lo, max(lo + 1, hi + 1))
         steps = np.arange(self.t + 1, dtype=np.int32)
-        return pos[None, :] + steps[:, None] * self.vel * d[None, :]
+        return pos[None, :] + steps[:, None] * vel * d[None, :]
 
     def _render(self, rng, label: int):
         """One clip: rgb [T,h,w,3], depth [T,h,w,1], n_depth [T,h,w,1]."""
         d = _DIRS[label % self.n_dirs]
-        color = self.palette[label // self.n_dirs]
-        pos = self._positions(rng, d)                     # [T+1, 2]
         rgb = rng.integers(0, self.noise, (self.t, self.h, self.w, 3),
                            dtype=np.uint8)
         dep = rng.integers(20, 60, (self.t + 1, self.h, self.w, 1),
                            dtype=np.uint8)
         p = self.patch
+        if self.hard:
+            vel = self.speeds[label // self.n_dirs]
+            # distractors first (target drawn last, always on top)
+            for k in range(self.distractors):
+                dd = _DIRS[rng.integers(0, len(_DIRS))]
+                dv = self.speeds[rng.integers(0, len(self.speeds))]
+                dpos = self._positions(rng, dd, dv)
+                col = self.palette[rng.integers(0, len(self.palette))]
+                for t in range(self.t):
+                    y, x = dpos[t]
+                    rgb[t, y:y + p, x:x + p] = col
+            pos = self._positions(rng, d, vel)
+            hide = (set(rng.choice(self.t, self.occlude, replace=False))
+                    if self.occlude else set())
+            for t in range(self.t + 1):
+                y, x = pos[t]
+                if t < self.t and t not in hide:
+                    # per-frame brightness jitter kills any fixed-intensity
+                    # shortcut; achromatic (R=G=B) is the selection cue
+                    rgb[t, y:y + p, x:x + p] = rng.integers(180, 256)
+                dep[t, y:y + p, x:x + p] = 220  # depth shows the TARGET only
+            return rgb, dep[:-1], dep[1:]
+        color = self.palette[label // self.n_dirs]
+        pos = self._positions(rng, d, self.vel)           # [T+1, 2]
         for t in range(self.t + 1):
             y, x = pos[t]
             if t < self.t:

@@ -284,7 +284,7 @@ def midas_key_map(cfg: DPT) -> dict:
 
 def _apply_key_map(state_dict, variables, kmap):
     """Shared conversion loop: walk ``state_dict``, transpose per ``kind``
-    ('dense' [out,in]->[in,out]; 'conv' OIHW->HWIO; 'tconv' IOHW->HWOI —
+    ('dense' [out,in]->[in,out]; 'conv' OIHW->HWIO; 'tconv' IOHW->HWIO —
     torch ConvTranspose2d weight is [in, out, kh, kw]; 'raw' as-is), and
     write into a copy of ``variables['params']``.  Returns
     (new_variables, unused_torch_keys)."""

@@ -163,9 +163,15 @@ class ActionConv(nn.Module):
     shift_div: int = 8
     bn_frozen: bool = True
     dtype: jnp.dtype = jnp.float32
-    # Kernel mode for the inference fast path (training always takes the XLA
-    # formulation, which autodiffs):
+    # Kernel mode:
     #   None / False / 'none' — pure XLA (fusion decided by the compiler)
+    #   'vjp'                 — custom-VJP gate block AT TRAIN ONLY (fast
+    #                           fused backward, ops/action_vjp.py); eval
+    #                           falls through to the pure-XLA path, so the
+    #                           inference program is byte-identical to
+    #                           'none' (no 9%-regression risk, docs/PERF.md
+    #                           round-3 stencil lesson).  Default via
+    #                           ModelConfig (ADVICE r4).
     #   True / 'prologue'     — one-pass gate-stats kernel, x_shift still
     #                           materialized (ops/pallas/action_fused.py);
     #                           measured SLOWER in-model, kept as verified
@@ -206,7 +212,8 @@ class ActionConv(nn.Module):
         use_mega = mode == "mega" and not train and self.features > 0
         use_prologue = mode == "prologue" and not train
 
-        if mode == "vjp" and self.features > 0 and not self.quantize:
+        if mode == "vjp" and train and self.features > 0 \
+                and not self.quantize:
             # Hand-structured custom-VJP gate block (training backward
             # optimization, docs/PERF.md round 4): identical forward math,
             # backward recomputes x_shift/gated and fuses the four

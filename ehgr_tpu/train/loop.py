@@ -155,9 +155,16 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
         # back exactly (the step counter also restores the LR-decay epoch)
         import orbax.checkpoint as ocp
 
+        from ehgr_tpu.train.optim import adopt_config_hyper
+
+        fresh_opt = state.opt_state
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(cfg.run.checkpoint_path,
                                   jax.device_get(state))
+        # schedule scalars ride the opt state (optim.py); a resume takes
+        # the CURRENT config's schedule, not the checkpointed one
+        state = state.replace(opt_state=adopt_config_hyper(
+            state.opt_state, fresh_opt, log))
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
         log.info("resumed full train state from %s at step %d (epoch %d)",
                  cfg.run.checkpoint_path, int(state.step), start_epoch)

@@ -172,6 +172,42 @@ def sgd_policies(labels, base_lr: float, momentum: float = 0.9,
     return optax.GradientTransformation(init, update)
 
 
+def adopt_config_hyper(restored, fresh, log=None):
+    """Graft the FRESH (current-config) schedule hyperparameters into a
+    restored optimizer state (possibly an ``optax.chain`` tuple).
+
+    Schedule scalars live in ``SgdPoliciesState.hyper`` so one compiled
+    step serves all schedules — but that means a full-state resume would
+    otherwise silently keep the CHECKPOINTED lr/lr_steps/gamma/momentum/wd
+    and ignore any config change (ADVICE r4).  Resume semantics are
+    therefore: momentum buffers + step counter come from the checkpoint,
+    the schedule comes from the current config.  Checkpoints written
+    before ``hyper`` existed do not restore (pytree structure mismatch) —
+    re-train or restore weights-only via ``checkpoint_path`` without
+    ``resume_full``."""
+    if isinstance(restored, SgdPoliciesState):
+        if log is not None:
+            ck, fr = restored.hyper, fresh.hyper
+            diffs = [k for k in ("momentum", "weight_decay", "gamma",
+                                 "lr_steps", "steps_per_epoch")
+                     if not jnp.array_equal(ck[k], fr[k])]
+            diffs += [f"lr[{g}]" for g in fr["group_lr"]
+                      if not jnp.array_equal(ck["group_lr"][g],
+                                             fr["group_lr"][g])]
+            if diffs:
+                log.warning(
+                    "resume: checkpointed schedule differs from config on "
+                    "%s; using the CURRENT config's schedule", diffs)
+        return restored._replace(hyper=fresh.hyper)
+    if isinstance(restored, tuple):
+        items = tuple(adopt_config_hyper(r, f, log)
+                      for r, f in zip(restored, fresh))
+        # optax chain states are plain tuples; sub-states are namedtuples
+        return (type(restored)(*items) if hasattr(restored, "_fields")
+                else items)
+    return restored
+
+
 def build_optimizer(params, cfg_optim, fc_lr5: bool = True,
                     partial_bn: bool = False, steps_per_epoch: int = 1):
     """Config -> (optimizer, labels).  ``policies=False`` = single param

@@ -203,3 +203,78 @@ class TestScheduleAsState:
         # fc kernel group is lr5_weight: lr = 0.5 * 5
         np.testing.assert_allclose(np.asarray(upd["new_fc"]["kernel"]),
                                    -2.5, rtol=1e-6)
+
+
+class TestAdoptConfigHyper:
+    """Full-state resume takes the CURRENT config's schedule (ADVICE r4):
+    momentum buffers + step come from the checkpoint, hyper from config."""
+
+    def _tx_state(self, lr, params):
+        import jax.numpy as jnp
+
+        from ehgr_tpu.train.optim import label_params, sgd_policies
+
+        tx = sgd_policies(label_params(params), base_lr=lr, momentum=0.9,
+                          weight_decay=1e-5, lr_steps=(10,),
+                          steps_per_epoch=4)
+        return tx, tx.init(params)
+
+    def test_hyper_replaced_momentum_kept(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ehgr_tpu.train.optim import adopt_config_hyper
+
+        params = {"new_fc": {"kernel": jnp.ones((2, 2))}}
+        tx_old, restored = self._tx_state(0.5, params)
+        # simulate a trained checkpoint: momentum buffer non-zero, step 7
+        restored = restored._replace(
+            step=jnp.asarray(7, jnp.int32),
+            momentum=jax.tree.map(lambda p: p * 3.0, params))
+        _, fresh = self._tx_state(0.125, params)
+
+        merged = adopt_config_hyper(restored, fresh)
+        assert int(merged.step) == 7
+        np.testing.assert_allclose(
+            np.asarray(merged.momentum["new_fc"]["kernel"]), 3.0)
+        # schedule comes from the NEW config (lr5 group: 0.125 * 5)
+        np.testing.assert_allclose(
+            float(merged.hyper["group_lr"]["lr5_weight"]), 0.625)
+
+    def test_chained_state_traversed(self):
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from ehgr_tpu.train.optim import (adopt_config_hyper, label_params,
+                                          sgd_policies)
+
+        params = {"new_fc": {"kernel": jnp.ones((2, 2))}}
+
+        def chained(lr):
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                sgd_policies(label_params(params), base_lr=lr,
+                             steps_per_epoch=4))
+            return tx.init(params)
+
+        restored, fresh = chained(0.5), chained(0.125)
+        merged = adopt_config_hyper(restored, fresh)
+        np.testing.assert_allclose(
+            float(merged[1].hyper["group_lr"]["normal_weight"]), 0.125)
+
+    def test_warns_on_schedule_change(self, caplog):
+        import logging
+
+        import jax.numpy as jnp
+
+        from ehgr_tpu.train.optim import adopt_config_hyper
+
+        params = {"new_fc": {"kernel": jnp.ones((2, 2))}}
+        _, restored = self._tx_state(0.5, params)
+        _, fresh = self._tx_state(0.125, params)
+        log = logging.getLogger("test_adopt")
+        with caplog.at_level(logging.WARNING, logger="test_adopt"):
+            adopt_config_hyper(restored, fresh, log)
+        assert any("CURRENT config" in r.message for r in caplog.records)

@@ -91,6 +91,88 @@ class TestLearnableClips:
         assert not np.array_equal(item["rgb"][0], item["rgb"][1])
 
 
+class TestHardMotionClips:
+    """motion_hard: white target among colored distractors, dir x speed
+    labels (VERDICT r4 next #1 — the discriminative exit-ladder task)."""
+
+    def _src(self, **kw):
+        kw.setdefault("n_videos", 32)
+        kw.setdefault("clip_len", 8)
+        kw.setdefault("size", (64, 64))
+        kw.setdefault("num_classes", 16)
+        kw.setdefault("fields", ("rgb", "depth", "n_depth", "label"))
+        kw.setdefault("seed", 0)
+        return LearnableClipSource(hard=True, **kw)
+
+    def test_target_motion_matches_label(self):
+        src = self._src()
+        for idx in range(16):
+            item = src[idx]
+            lab = int(item["label"])
+            cents = np.array([_centroid(item["depth"][t]) for t in range(8)])
+            d_obs = np.diff(cents, axis=0).mean(0)
+            vel = src.speeds[lab // src.n_dirs]
+            d_true = _DIRS[lab % src.n_dirs] * vel
+            np.testing.assert_allclose(d_obs, d_true, atol=0.5)
+
+    def test_target_is_achromatic_distractors_are_not(self):
+        src = self._src(seed=2)
+        item = src[3]
+        mask = item["depth"][0][:, :, 0] > 150
+        tgt = item["rgb"][0][mask].astype(np.int32)
+        # target: R=G=B per pixel (brightness-jittered white)
+        assert (tgt.max(1) - tgt.min(1)).max() == 0
+        assert tgt.min() >= 180
+        # distractors: saturated pixels (large channel spread) exist
+        # somewhere outside the target
+        off = item["rgb"][0][~mask].astype(np.int32)
+        assert (off.max(1) - off.min(1)).max() > 150
+
+    def test_depth_shows_target_only(self):
+        """Depth must localize the TARGET, not the distractors — it is the
+        selection-teaching signal for the MTMM aux loss."""
+        src = self._src(seed=5)
+        p2 = src.patch * src.patch
+        for idx in range(8):
+            item = src[idx]
+            for t in range(8):
+                assert (item["depth"][t][:, :, 0] > 150).sum() == p2
+                assert (item["n_depth"][t][:, :, 0] > 150).sum() == p2
+
+    def test_n_depth_leads_depth_one_step(self):
+        src = self._src(seed=3)
+        item = src[5]
+        for t in range(7):
+            np.testing.assert_array_equal(item["n_depth"][t],
+                                          item["depth"][t + 1])
+
+    def test_speed_classes_differ(self):
+        src = self._src()
+        a = src[1]       # label 1: dir 1, speed speeds[0]
+        b = src[1 + 8]   # label 9: dir 1, speed speeds[1]
+        assert int(a["label"]) % 8 == int(b["label"]) % 8
+        for item, vel in ((a, src.speeds[0]), (b, src.speeds[1])):
+            cents = np.array([_centroid(item["depth"][t]) for t in range(8)])
+            step = np.abs(np.diff(cents, axis=0)).max()
+            assert abs(step - vel) < 0.5
+
+    def test_occlusion_hides_target_frames(self):
+        src = self._src(occlude=2, seed=11)
+        item = src[4]
+        hidden = 0
+        for t in range(8):
+            mask = item["depth"][t][:, :, 0] > 150
+            tgt = item["rgb"][t][mask].astype(np.int32)
+            achromatic = (tgt.max(1) - tgt.min(1)).max() == 0 \
+                and tgt.min() >= 180
+            hidden += 0 if achromatic else 1
+        assert hidden == 2
+
+    def test_deterministic(self):
+        src = self._src()
+        np.testing.assert_array_equal(src[2]["rgb"], src[2]["rgb"])
+
+
 class TestFactoryWiring:
     def _cfg(self, **data_kw):
         data_kw.setdefault("synthetic_task", "motion")
@@ -124,6 +206,14 @@ class TestFactoryWiring:
         assert test_ds.clip_num == 2
         # different seed -> different pixels for the same index/label
         assert not np.array_equal(train_ds[0]["rgb"], test_ds[0]["rgb"][0])
+
+    def test_motion_hard_wiring(self):
+        cfg = self._cfg(synthetic_task="motion_hard")
+        train_ds, _ = build_train_datasets(cfg, "mtmm")
+        assert isinstance(train_ds, LearnableClipSource) and train_ds.hard
+        assert train_ds[0]["rgb"].shape == (4, 32, 32, 3)
+        test_ds = build_test_dataset(cfg)
+        assert test_ds.hard and test_ds.clip_num == 2
 
     def test_random_task_unchanged(self):
         from ehgr_tpu.data.synthetic import SyntheticClipSource

@@ -177,7 +177,10 @@ def main(argv=None):
            "e2e_videos_per_s": round(e2e_videos, 2),
            "e2e_clips_per_s": round(e2e_videos * K, 1),
            "cores_to_saturate": round(dev_videos / max(host_videos, 1e-9), 1),
-           "host_bound": bool(e2e_videos < 0.8 * dev_videos)}
+           "host_bound": bool(e2e_videos < 0.8 * dev_videos),
+           # sanity only: this tool runs RANDOM-INIT weights, so the value
+           # is chance-level; reported to make that explicit (ADVICE r4)
+           "e2e_top1_pct": round(100.0 * correct / max(total, 1), 2)}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
