@@ -100,6 +100,10 @@ class ModelConfig:
     action_stages: Tuple[int, ...] = (1, 2, 3, 4)
     # compute dtype for the backbone (params stay f32)
     dtype: str = "bfloat16"
+    # videomae only: (dim, depth, heads) override; None = ViT-B/16 (the
+    # reference's VideoMAEForVideoClassification).  Tiny values make the
+    # training path testable on CPU.
+    vit: Optional[Tuple[int, int, int]] = None
 
 
 @dataclass(frozen=True)
@@ -273,6 +277,11 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
                    choices=["dynamic", "static"],
                    help="int8 MXU inference for backbone convs")
     p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--run_dir", default=None)
+    p.add_argument("--synthetic_videos", type=int, default=None)
+    p.add_argument("--vit", type=int, nargs=3, default=None,
+                   metavar=("DIM", "DEPTH", "HEADS"),
+                   help="videomae encoder size override (default ViT-B/16)")
     p.add_argument("--accum_steps", type=int, default=None,
                    help="gradient accumulation: microbatches per step")
     args = p.parse_args(argv)
@@ -289,7 +298,8 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
             clip_num=args.clip_num, test_crops=args.test_crops,
             scale_size=args.scale_size, crop_size=args.crop_size,
             train_crop_size=args.train_crop_size, backend=args.backend,
-            num_classes=args.num_classes)
+            num_classes=args.num_classes,
+            synthetic_videos=args.synthetic_videos)
     if args.synthetic:
         d = replace(d, backend="synthetic")
     m = upd(m, base_model=args.base_model, shift_div=args.shift_div,
@@ -297,10 +307,12 @@ def config_from_args(argv: Sequence[str], default_preset: str = "ego_baseline") 
             num_segments=args.clip_len, action_fused=args.action_fused,
             quantize=args.quantize, num_classes=args.num_classes,
             action_stages=(tuple(args.action_stages)
-                           if args.action_stages else None))
+                           if args.action_stages else None),
+            vit=tuple(args.vit) if args.vit else None)
     o = upd(o, lr=args.lr, weight_decay=args.wd, epochs=args.epochs,
             lr_steps=tuple(args.lr_steps) if args.lr_steps else None,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps)
-    r = upd(r, model_name=args.model_name, checkpoint_path=args.checkpoint_path)
+    r = upd(r, model_name=args.model_name,
+            checkpoint_path=args.checkpoint_path, run_dir=args.run_dir)
     return Config(data=d, model=m, optim=o, loss=cfg.loss,
                   parallel=cfg.parallel, run=r).validate()

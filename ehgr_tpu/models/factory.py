@@ -23,8 +23,11 @@ def build_model(m: ModelConfig):
                           with_depth=True, dtype=dtype)
     if m.arch == "videomae":
         from ehgr_tpu.models.videomae import VideoMAE
+        size = {}
+        if m.vit:
+            size = dict(zip(("dim", "depth", "heads"), m.vit))
         return VideoMAE(num_class=m.num_classes, dropout=m.dropout,
-                        dtype=dtype)
+                        dtype=dtype, **size)
     model = variant(m.arch, num_class=m.num_classes,
                     num_segments=m.num_segments, base_model=m.base_model,
                     temporal=(m.temporal_module if m.is_shift else "none"),

@@ -129,3 +129,54 @@ class TestVideoMAE:
         got = model.apply(new_vars, jnp.asarray(x), train=False)
         np.testing.assert_allclose(np.asarray(got), ref.numpy(),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestVideoMAETraining:
+    """The VideoMAE TRAINING path (VERDICT r4 weak #5): a real train step
+    through arch='videomae' plus the cli/train_videomae.py config
+    rewiring (ref ``train_videomae.py:94-243``)."""
+
+    def test_train_step_descends(self, rng):
+        from dataclasses import replace
+
+        from ehgr_tpu.configs import LossConfig, OptimConfig
+        from ehgr_tpu.train.optim import build_optimizer
+        from ehgr_tpu.train.steps import create_train_state, make_train_step
+
+        model = VideoMAE(num_class=5, dim=32, depth=2, heads=2, dropout=0.0)
+        x0 = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, xx: model.init(r, xx, train=False)
+        )({"params": jax.random.key(0)}, x0)
+        tx, _ = build_optimizer(
+            variables["params"], replace(OptimConfig(), lr=0.05,
+                                         policies=False),
+            steps_per_epoch=4)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, stage="baseline",
+                               loss_cfg=LossConfig(), ema_decay=0.9,
+                               mean=(0.45,) * 3, std=(0.22,) * 3,
+                               donate=False)
+        batch = {"rgb": jnp.asarray(
+                     rng.integers(0, 255, (4, 4, 32, 32, 3), np.uint8)),
+                 "label": jnp.asarray(rng.integers(0, 5, 4))}
+        losses = []
+        for _ in range(5):
+            state, m = step(state, batch, jax.random.key(1))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_cli_synthetic_two_steps(self, tmp_path):
+        """Drives the actual CLI (odd --clip_len exercises the even-T
+        coercion to 16; policies switched off; tiny ViT via --vit)."""
+        from cli.train_videomae import main
+
+        res = main(["--synthetic", "--epochs", "1", "--batch_size", "2",
+                    "--clip_len", "3", "--crop_size", "32",
+                    "--scale_size", "32", "--num_classes", "5",
+                    "--synthetic_videos", "4", "--vit", "32", "2", "2",
+                    "--lr", "0.01", "--run_dir", str(tmp_path),
+                    "--model_name", "vmae"])
+        assert np.isfinite(res["final_train_loss"])
+        assert "final_top1" in res

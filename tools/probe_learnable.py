@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--crop", type=int, default=64)
     p.add_argument("--clip_len", type=int, default=8)
     p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--task", default="motion",
+                   choices=["motion", "motion_hard"])
     p.add_argument("--out", default="runs/round4_learnable_probe")
     args = p.parse_args(argv)
 
@@ -47,10 +49,10 @@ def main(argv=None):
     from ehgr_tpu.data.factory import build_train_datasets
     from ehgr_tpu.train.loop import run_training
 
-    tag = f"lr{args.lr}_e{args.epochs}_do{args.dropout}"
+    tag = f"{args.task}_lr{args.lr}_e{args.epochs}_do{args.dropout}"
     cfg = Config(
         data=DataConfig(dataset="synthetic", backend="synthetic",
-                        synthetic_task="motion",
+                        synthetic_task=args.task,
                         synthetic_videos=args.videos,
                         clip_len=args.clip_len, batch_size=args.batch,
                         num_classes=args.classes, crop_size=args.crop,
