@@ -27,6 +27,40 @@ import time
 import numpy as np
 
 
+# chip physics for the roofline/MFU rows (TPU v5e datasheet values, the
+# hardware this round's driver runs on): peak matmul throughput and HBM BW
+PEAK_BF16_TFS = 197.0
+PEAK_INT8_TFS = 394.0
+PEAK_HBM_GBS = 819.0
+
+
+def _xla_cost(jitted, *args):
+    """(flops, bytes_accessed) per call from XLA's cost analysis of the
+    COMPILED program (VERDICT r4 next #4: count programmatically, not by
+    hand).  Compilation is cached, so this reuses the benched executable.
+    Returns (0, 0) when the backend doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _roofline(flops_per_call, bytes_per_call, calls_per_sec, peak_tfs):
+    """MFU + HBM-roofline utilization for a measured rate."""
+    if not flops_per_call:
+        return {}
+    tfs = flops_per_call * calls_per_sec / 1e12
+    gbs = bytes_per_call * calls_per_sec / 1e9
+    return {"tf_per_sec": round(tfs, 2),
+            "mfu_pct": round(100.0 * tfs / peak_tfs, 2),
+            "hbm_gb_per_sec": round(gbs, 1),
+            "hbm_roofline_pct": round(100.0 * gbs / PEAK_HBM_GBS, 1)}
+
+
 def _bench_inference(jax, jnp, model, variables, normalize_clip,
                      batch, t, hw, warmup=3, iters=10):
     @jax.jit
@@ -45,7 +79,8 @@ def _bench_inference(jax, jnp, model, variables, normalize_clip,
     outs = [score(frames) for _ in range(iters)]
     float(jnp.sum(outs[-1]))             # scalar fetch = real barrier
     dt = time.perf_counter() - t0
-    return batch * iters / dt, score
+    flops, nbytes = _xla_cost(score, frames)
+    return batch * iters / dt, score, (flops / batch, nbytes / batch)
 
 
 def _bench_latency(jax, jnp, model, variables, normalize_clip, t, hw,
@@ -119,7 +154,8 @@ def _bench_train(jax, jnp, t, hw, batch=16, warmup=2, iters=12):
         state, m = step(state, batches[warmup + i], keys[warmup + i])
     float(m["loss"])
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    flops, nbytes = _xla_cost(step, state, batches[0], keys[0])
+    return batch * iters / dt, (flops / batch, nbytes / batch)
 
 
 def main():
@@ -147,11 +183,11 @@ def main():
         {"params": jax.random.key(0)},
         normalize_clip(x0, dtype=jnp.bfloat16)))
 
-    clips_per_sec, _ = _bench_inference(
+    clips_per_sec, _, inf_cost = _bench_inference(
         jax, jnp, model, variables, normalize_clip, BATCH, T, HW)
     p50, p99 = _bench_latency(
         jax, jnp, model, variables, normalize_clip, T, HW)
-    train_cps = _bench_train(jax, jnp, T, HW)
+    train_cps, train_cost = _bench_train(jax, jnp, T, HW)
 
     # int8 static-calibrated inference (ops/quantize.py; batch 256 — the
     # int8 sweet spot, 384 exceeds HBM with float+int8 copies at peak)
@@ -171,7 +207,7 @@ def main():
     qv = calibrate(qcal, qv, [normalize_clip(jnp.asarray(
         qrng.integers(0, 256, (32, T, HW, HW, 3)), jnp.uint8),
         dtype=jnp.bfloat16)])
-    int8_cps, _ = _bench_inference(
+    int8_cps, _, int8_cost = _bench_inference(
         jax, jnp, qmodel, qv, normalize_clip, 256, T, HW)
 
     baseline = 15.0  # reference ~15 clips/s (BASELINE.md train-step rate)
@@ -187,6 +223,12 @@ def main():
         "train_clips_per_sec": round(train_cps, 2),
         "train_vs_baseline": round(train_cps / baseline, 2),
         "int8_static_clips_per_sec": round(int8_cps, 2),
+        # roofline/MFU grounding (VERDICT r4 next #4): XLA-counted
+        # flops/bytes per clip x measured rate vs chip peaks
+        "flops_per_clip_g": round(inf_cost[0] / 1e9, 2),
+        "inference": _roofline(*inf_cost, clips_per_sec, PEAK_BF16_TFS),
+        "train": _roofline(*train_cost, train_cps, PEAK_BF16_TFS),
+        "int8": _roofline(*int8_cost, int8_cps, PEAK_INT8_TFS),
     }))
 
 
