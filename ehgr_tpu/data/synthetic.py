@@ -216,8 +216,14 @@ class LearnableClipSource:
         p = self.patch
         if self.hard:
             vel = self.speeds[label // self.n_dirs]
+            # distractor-count MIXTURE 0..K per clip: clips without
+            # distractors give optimization a toothold (the pure binding
+            # task has no partial credit and barely trains from scratch —
+            # round-5 probe), clips with them grade difficulty so exits
+            # ladder — deep features win the hard subset
+            n_dis = int(rng.integers(0, self.distractors + 1))
             # distractors first (target drawn last, always on top)
-            for k in range(self.distractors):
+            for k in range(n_dis):
                 dd = _DIRS[rng.integers(0, len(_DIRS))]
                 dv = self.speeds[rng.integers(0, len(self.speeds))]
                 dpos = self._positions(rng, dd, dv)

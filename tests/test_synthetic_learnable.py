@@ -117,16 +117,19 @@ class TestHardMotionClips:
 
     def test_target_is_achromatic_distractors_are_not(self):
         src = self._src(seed=2)
-        item = src[3]
-        mask = item["depth"][0][:, :, 0] > 150
-        tgt = item["rgb"][0][mask].astype(np.int32)
-        # target: R=G=B per pixel (brightness-jittered white)
-        assert (tgt.max(1) - tgt.min(1)).max() == 0
-        assert tgt.min() >= 180
-        # distractors: saturated pixels (large channel spread) exist
-        # somewhere outside the target
-        off = item["rgb"][0][~mask].astype(np.int32)
-        assert (off.max(1) - off.min(1)).max() > 150
+        saw_distractor = False
+        for idx in range(8):
+            item = src[idx]
+            mask = item["depth"][0][:, :, 0] > 150
+            tgt = item["rgb"][0][mask].astype(np.int32)
+            # target: R=G=B per pixel (brightness-jittered white)
+            assert (tgt.max(1) - tgt.min(1)).max() == 0
+            assert tgt.min() >= 180
+            # distractors (present in a 0..K per-clip mixture): saturated
+            # pixels (large channel spread) outside the target
+            off = item["rgb"][0][~mask].astype(np.int32)
+            saw_distractor |= (off.max(1) - off.min(1)).max() > 150
+        assert saw_distractor
 
     def test_depth_shows_target_only(self):
         """Depth must localize the TARGET, not the distractors — it is the

@@ -7,6 +7,10 @@ confidence-gated cascade curve with those measured rates
 (``ehgr_tpu/eval/cascade.py``), exercising the real bucketed two-pass path.
 
   python tools/bench_cascade.py [--steps 60] [--batch 256] [--classes 16]
+
+Round 5 (VERDICT r4 next #3): pass ``--checkpoint <sd best> --task
+motion_hard --crop 64`` to sweep the operating curve on the REAL trained
+dress-rehearsal model — accuracy and rate measured at the same geometry.
 """
 
 from __future__ import annotations
@@ -28,10 +32,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/ehgr_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-T, HW = 8, 224
+T = 8
 
 
-def rate_of(model, variables, batch, iters=8):
+def rate_of(model, variables, batch, hw, iters=8):
     from ehgr_tpu.ops.preprocess_device import normalize_clip
 
     @jax.jit
@@ -40,7 +44,7 @@ def rate_of(model, variables, batch, iters=8):
         return model.apply(variables, x, train=False)
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (batch, T, HW, HW, 3)),
+    frames = jnp.asarray(rng.integers(0, 256, (batch, T, hw, hw, 3)),
                          jnp.uint8)
     for _ in range(3):
         float(jnp.sum(score(frames)))    # scalar fetch = real barrier
@@ -58,7 +62,14 @@ def main(argv=None):
     p.add_argument("--classes", type=int, default=16)
     p.add_argument("--clip_num", type=int, default=4)
     p.add_argument("--exit", type=int, default=1, dest="exit_k")
+    p.add_argument("--crop", type=int, default=224)
+    p.add_argument("--checkpoint", default="",
+                   help="trained ckpt dir; skips the throwaway training")
+    p.add_argument("--task", default="random",
+                   choices=["random", "motion", "motion_hard"])
+    p.add_argument("--videos", type=int, default=64)
     args = p.parse_args(argv)
+    HW = args.crop
 
     from ehgr_tpu.configs import (Config, DataConfig, ModelConfig,
                                   OptimConfig, RunConfig)
@@ -73,7 +84,8 @@ def main(argv=None):
                         clip_len=T, batch_size=args.train_batch,
                         num_classes=args.classes, crop_size=HW,
                         scale_size=HW + 32, clip_num=args.clip_num,
-                        num_workers=0),
+                        synthetic_task=args.task,
+                        synthetic_videos=args.videos, num_workers=0),
         model=ModelConfig(arch="tsn_sd", num_segments=T,
                           num_classes=args.classes, partial_bn=False),
         optim=OptimConfig(lr=0.01, epochs=1, lr_steps=(1000,),
@@ -81,11 +93,14 @@ def main(argv=None):
         run=RunConfig(run_dir=out_dir, model_name="cascade", display=20),
     ).validate()
 
-    t0 = time.perf_counter()
-    res = run_training(cfg, "sd", *build_train_datasets(cfg, "sd"),
-                       max_steps_per_epoch=args.steps)
-    train_s = time.perf_counter() - t0
-    best = os.path.join(res["run_dir"], "cascade_best_ckpt")
+    if args.checkpoint:
+        best, train_s = args.checkpoint, 0.0
+    else:
+        t0 = time.perf_counter()
+        res = run_training(cfg, "sd", *build_train_datasets(cfg, "sd"),
+                           max_steps_per_epoch=args.steps)
+        train_s = time.perf_counter() - t0
+        best = os.path.join(res["run_dir"], "cascade_best_ckpt")
     assert os.path.isdir(best), "no checkpoint written"
     cfg = dataclasses.replace(
         cfg, run=dataclasses.replace(cfg.run, checkpoint_path=best))
@@ -93,7 +108,7 @@ def main(argv=None):
     rates = {}
     for arch in ("tsn_middle1", "tsn_middle2", "tsn_middle3", "tsn"):
         m, v = _build_model(cfg, arch)
-        rates[arch] = round(rate_of(m, v, args.batch), 1)
+        rates[arch] = round(rate_of(m, v, args.batch, HW), 1)
         print(f"[cascade] {arch}: {rates[arch]} clips/s @ b{args.batch}",
               flush=True)
 
@@ -101,7 +116,8 @@ def main(argv=None):
                            rate_exit=rates[f"tsn_middle{args.exit_k}"],
                            rate_full=rates["tsn"])
     out = {"train_steps": args.steps, "train_wall_s": round(train_s, 1),
-           "classes": args.classes, "stage_clips_per_sec": rates,
+           "classes": args.classes, "crop": HW, "task": args.task,
+           "checkpoint": args.checkpoint, "stage_clips_per_sec": rates,
            "batch": args.batch, **res}
     print(json.dumps(out))
     return out

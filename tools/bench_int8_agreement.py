@@ -16,6 +16,11 @@ on the chip:
   3. report top-1 for both, the delta, and per-clip final-logit cosine.
 
   python tools/bench_int8_agreement.py [--steps 60] [--classes 16]
+
+Round 5 (VERDICT r4 next #3): pass ``--checkpoint <sd best> --task
+motion_hard --crop 64`` to skip the throwaway training and measure
+agreement on the REAL trained model (the dress-rehearsal checkpoint) over
+the held-out hard-task test split.
 """
 
 from __future__ import annotations
@@ -44,6 +49,12 @@ def main(argv=None):
     p.add_argument("--clip_len", type=int, default=8)
     p.add_argument("--crop", type=int, default=224)
     p.add_argument("--clip_num", type=int, default=4)
+    p.add_argument("--checkpoint", default="",
+                   help="trained ckpt dir; skips the throwaway training")
+    p.add_argument("--task", default="random",
+                   choices=["random", "motion", "motion_hard"])
+    p.add_argument("--videos", type=int, default=64,
+                   help="synthetic_videos (test split = videos // 2)")
     args = p.parse_args(argv)
 
     import os
@@ -63,7 +74,8 @@ def main(argv=None):
                         clip_len=args.clip_len, batch_size=args.batch,
                         num_classes=args.classes, crop_size=args.crop,
                         scale_size=args.crop + 32, clip_num=args.clip_num,
-                        num_workers=0),
+                        synthetic_task=args.task,
+                        synthetic_videos=args.videos, num_workers=0),
         model=ModelConfig(arch="tsn", num_segments=args.clip_len,
                           num_classes=args.classes, partial_bn=False),
         optim=OptimConfig(lr=0.01, epochs=1, lr_steps=(1000,),
@@ -71,11 +83,15 @@ def main(argv=None):
         run=RunConfig(run_dir=out_dir, model_name="agree", display=20),
     ).validate()
 
-    t0 = time.perf_counter()
-    res = run_training(cfg, "baseline", *build_train_datasets(cfg, "baseline"),
-                       max_steps_per_epoch=args.steps)
-    train_s = time.perf_counter() - t0
-    best = os.path.join(res["run_dir"], "agree_best_ckpt")
+    if args.checkpoint:
+        best, train_s = args.checkpoint, 0.0
+    else:
+        t0 = time.perf_counter()
+        res = run_training(cfg, "baseline",
+                           *build_train_datasets(cfg, "baseline"),
+                           max_steps_per_epoch=args.steps)
+        train_s = time.perf_counter() - t0
+        best = os.path.join(res["run_dir"], "agree_best_ckpt")
     assert os.path.isdir(best), "no checkpoint written"
 
     cfg = dataclasses.replace(
@@ -141,8 +157,9 @@ def main(argv=None):
 
     out = {"steps": args.steps, "classes": args.classes,
            "clip_num": args.clip_num, "n_videos": n,
+           "crop": args.crop, "task": args.task,
+           "checkpoint": args.checkpoint,
            "train_wall_s": round(train_s, 1),
-           "train_final_loss": round(float(res["final_train_loss"]), 3),
            "top1_bf16": round(100.0 * c1f / n, 2),
            "top1_int8": round(100.0 * c1q / n, 2),
            "top1_delta": round(100.0 * (c1q - c1f) / n, 2),

@@ -1,0 +1,134 @@
+"""Round-5 chip measurement queue: one command, committed records.
+
+Runs the round-5 chip jobs SEQUENTIALLY (one host core — concurrent jobs
+contaminate timings; docs/PERF.md round-3 reconciliation) and appends one
+JSONL row per job to a version-controlled path.
+
+Jobs (each tool also writes its own runs/round5_* record):
+  1. hard-task rehearsal   cli/dress_rehearsal.py --learnable --task
+                           motion_hard            (VERDICT r4 next #1)
+  2. MTMM ablation x3 seeds tools/ablate_mtmm.py  (VERDICT r4 next #2)
+  3. int8 agreement on the TRAINED ckpt            (VERDICT r4 next #3)
+  4. cascade curve on the TRAINED ckpt             (VERDICT r4 next #3)
+  5. headline bench (now with MFU/roofline rows)   (VERDICT r4 next #4)
+
+Jobs 3-4 locate the newest stage-2 best checkpoint under
+runs/round5_learnable/synthetic/SD/*/ automatically.
+
+Transient-tunnel failures (FAILED_PRECONDITION / remote_compile resets;
+CLAUDE.md) are retried once per job.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \\
+           python tools/run_round5_chip_queue.py [--only JOB ...] \\
+           [--epochs 40] [--sd_epochs 40] [--ablate_epochs 16] [--lr 0.02]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "runs", "round5_chip_queue.jsonl")
+
+
+def newest_sd_ckpt():
+    cands = sorted(glob.glob(os.path.join(
+        REPO, "runs", "round5_learnable", "synthetic", "SD", "*",
+        "rehearsal_best_ckpt")))
+    return cands[-1] if cands else ""
+
+
+def run_job(name, cmd, tmo):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    for attempt in (1, 2):
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, cwd=REPO, env=env, timeout=tmo,
+                               capture_output=True, text=True)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc, r = -9, None
+        row = {"job": name, "attempt": attempt, "rc": rc,
+               "wall_s": round(time.time() - t0, 1),
+               "ts": time.strftime("%F %T"),
+               "tail": (r.stdout[-2500:] if r else "TIMEOUT")}
+        with open(OUT, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"[queue] {name} attempt {attempt}: rc={rc} "
+              f"({row['wall_s']}s)", flush=True)
+        if rc == 0:
+            return True
+        if r is not None and "FAILED_PRECONDITION" not in (
+                r.stdout + r.stderr):
+            return False  # real failure, no point retrying
+    return False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", nargs="*", default=None)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--sd_epochs", type=int, default=0)
+    p.add_argument("--ablate_epochs", type=int, default=16)
+    p.add_argument("--videos", type=int, default=512)
+    args = p.parse_args(argv)
+    py = sys.executable
+
+    jobs = [
+        ("rehearsal",
+         [py, "cli/dress_rehearsal.py", "--learnable",
+          "--task", "motion_hard", "--lr", str(args.lr),
+          "--epochs", str(args.epochs),
+          "--sd_epochs", str(args.sd_epochs or args.epochs),
+          "--videos", str(args.videos),
+          "--out", "runs/round5_learnable"], 14000),
+        ("ablation",
+         [py, "tools/ablate_mtmm.py", "--lr", str(args.lr),
+          "--epochs", str(args.ablate_epochs),
+          "--videos", str(args.videos),
+          "--out", "runs/round5_ablation"], 14000),
+    ]
+    # jobs needing the trained checkpoint are appended lazily
+    late = ["int8_agreement", "cascade", "bench"]
+
+    names = [j[0] for j in jobs] + late
+    only = set(args.only or names)
+
+    for name, cmd, tmo in jobs:
+        if name in only:
+            run_job(name, cmd, tmo)
+
+    ckpt = newest_sd_ckpt()
+    if "int8_agreement" in only:
+        if ckpt:
+            run_job("int8_agreement",
+                    [py, "tools/bench_int8_agreement.py",
+                     "--checkpoint", ckpt, "--task", "motion_hard",
+                     "--crop", "64", "--classes", "16",
+                     "--videos", str(args.videos), "--clip_num", "2"], 5400)
+        else:
+            print("[queue] int8_agreement skipped: no SD ckpt", flush=True)
+    if "cascade" in only:
+        if ckpt:
+            run_job("cascade",
+                    [py, "tools/bench_cascade.py",
+                     "--checkpoint", ckpt, "--task", "motion_hard",
+                     "--crop", "64", "--classes", "16",
+                     "--videos", str(args.videos), "--clip_num", "2",
+                     "--batch", "256"], 7200)
+        else:
+            print("[queue] cascade skipped: no SD ckpt", flush=True)
+    if "bench" in only:
+        run_job("bench", [py, "bench.py"], 5400)
+
+
+if __name__ == "__main__":
+    main()
