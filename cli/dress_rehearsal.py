@@ -107,7 +107,8 @@ def main(argv=None):
             optim=OptimConfig(lr=base_lr, epochs=stage_epochs,
                               lr_steps=(max(stage_epochs * 2 // 3, 1),),
                               ema_decay=0.999),
-            run=RunConfig(run_dir=out_dir, model_name="rehearsal", **run_kw),
+            run=RunConfig(run_dir=out_dir, model_name="rehearsal",
+                          ckpt_light=learn, **run_kw),
         ).validate()
 
     report = {"batch": args.batch, "clip_len": args.clip_len,

@@ -164,6 +164,13 @@ class RunConfig:
     # counter) from an orbax checkpoint — real crash-resume, which the
     # reference's --resume (weights-only state_dict) cannot do
     resume_full: bool = False
+    # True: defer checkpoint WRITES to end-of-training (best/ema_best are
+    # tracked as host copies, latest written once).  The per-epoch orbax
+    # save + full-state device_get costs 40-60 s/epoch through the TPU
+    # tunnel (round-5 probe: ~5 s of actual training in a 50-75 s epoch) —
+    # for short sweeps/rehearsals the crash-resume granularity isn't worth
+    # 10x wall clock.  On-disk artifacts at completion are identical.
+    ckpt_light: bool = False
 
 
 @dataclass(frozen=True)

@@ -109,9 +109,19 @@ def validate(eval_step, state, loader, stage: str) -> Dict[str, float]:
     for batch in loader:
         res = eval_step(state, {"rgb": jnp.asarray(batch["rgb"]),
                                 "label": jnp.asarray(batch["label"])})
+        # one bulk device->host read per batch, not one per metric: each
+        # fetch pays the ~30 ms tunnel round-trip (CLAUDE.md)
+        for attempt in (0, 1):
+            try:
+                res = {k: float(v) for k, v in jax.device_get(res).items()}
+                break
+            except jax.errors.JaxRuntimeError:
+                if attempt:
+                    raise
+                time.sleep(2.0)
         n += int(res.pop("n"))
         for k, v in res.items():
-            totals[k] = totals.get(k, 0.0) + fetch_scalar(v)
+            totals[k] = totals.get(k, 0.0) + v
     return {k: 100.0 * v / max(n, 1) for k, v in totals.items()} | {"n": n}
 
 
@@ -218,7 +228,9 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
                         model, state, b, run_dir, int(state.step),
                         cfg.data.mean, cfg.data.std, loss_cfg.depth_size)
 
-        ckpt.save("latest", jax.device_get(state))
+        light = cfg.run.ckpt_light
+        if not light:
+            ckpt.save("latest", jax.device_get(state))
         val = validate(eval_fn, state, val_loader, stage)
         val_ema = validate(eval_ema_fn, state, val_loader, stage)
         log.info("Epoch %d val: %s | ema: %s", epoch, val, val_ema)
@@ -229,12 +241,25 @@ def run_training(cfg: Config, stage: str, train_dataset, val_dataset,
              **{f"ema_{k}": v for k, v in val_ema.items()}}, step=epoch)
         if val.get("final_top1", 0.0) > best:
             best = val["final_top1"]
-            ckpt.save("best", jax.device_get(state))
+            if light:
+                best_host = jax.device_get(state)
+            else:
+                ckpt.save("best", jax.device_get(state))
         if val_ema.get("final_top1", 0.0) > ema_best:
             ema_best = val_ema["final_top1"]
-            ckpt.save("ema_best", jax.device_get(state))
+            if light:
+                ema_best_host = jax.device_get(state)
+            else:
+                ckpt.save("ema_best", jax.device_get(state))
         last_val = val
 
+    if cfg.run.ckpt_light and n_epochs > start_epoch:
+        # deferred writes: identical end-of-training artifacts, one sync
+        ckpt.save("latest", jax.device_get(state))
+        if best >= 0.0:
+            ckpt.save("best", best_host)
+        if ema_best >= 0.0:
+            ckpt.save("ema_best", ema_best_host)
     metrics_log.close()
     return {"best_top1": best, "ema_best_top1": ema_best,
             "final_train_loss": loss_m.avg, **last_val,

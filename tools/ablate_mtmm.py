@@ -67,7 +67,7 @@ def main(argv=None):
             optim=OptimConfig(lr=args.lr, epochs=args.epochs,
                               lr_steps=(max(args.epochs * 2 // 3, 1),),
                               ema_decay=0.999),
-            run=RunConfig(run_dir=args.out, seed=seed,
+            run=RunConfig(run_dir=args.out, seed=seed, ckpt_light=True,
                           model_name=f"{arch}_s{seed}", display=8),
         ).validate()
 

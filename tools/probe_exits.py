@@ -70,7 +70,8 @@ def main(argv=None):
         optim=OptimConfig(lr=args.lr, epochs=args.epochs,
                           lr_steps=(max(args.epochs * 2 // 3, 1),),
                           ema_decay=0.999),
-        run=RunConfig(run_dir=args.out, model_name=tag, display=8),
+        run=RunConfig(run_dir=args.out, model_name=tag, display=8,
+                      ckpt_light=True),
     ).validate()
 
     def mk(n, seed):
