@@ -228,7 +228,7 @@ def dpt_large(dtype: Any = jnp.float32) -> DPT:
 def midas_key_map(cfg: DPT) -> dict:
     """{torch state-dict key -> (flax path tuple, kind)} for the official
     MiDaS DPT layout.  ``kind`` picks the transpose rule:
-    'dense' [out,in]->[in,out]; 'conv' OIHW->HWIO; 'tconv' IOHW->HWOI
+    'dense' [out,in]->[in,out]; 'conv' OIHW->HWIO; 'tconv' IOHW->HWIO
     (torch ConvTranspose2d weight is [in, out, kh, kw]); 'raw' as-is."""
     m = {}
     P = "pretrained.model."

@@ -96,6 +96,14 @@ def main(argv=None):
           "--videos", str(args.videos),
           "--out", "runs/round5_ablation"], 14000),
     ]
+    jobs.append(
+        # VERDICT r4 weak #4: was the round-4 MTMM 53.9% plateau (36 ep,
+        # EASY task) budget or bug?  Extend stage 1 alone to 2x the budget.
+        ("mtmm_plateau",
+         [py, "tools/probe_learnable.py", "--task", "motion",
+          "--lr", "0.02", "--epochs", "72",
+          "--videos", str(args.videos),
+          "--out", "runs/round5_learnable_probe"], 10000))
     # jobs needing the trained checkpoint are appended lazily
     late = ["int8_agreement", "cascade", "bench"]
 
