@@ -60,6 +60,16 @@ def main(argv=None):
                    help="learnable-mode synthetic task")
     p.add_argument("--epochs", type=int, default=0,
                    help="epochs per stage (learnable mode; 0 = default)")
+    # stage 0, the ImageNet-init proxy (round 5): the hard task gives a
+    # final-head-only model no gradient traction from scratch (36-epoch
+    # probe: flat at chance; the SD probe with deep supervision DID learn,
+    # so it is trunk init, not capacity) — the reference never trains
+    # stage 1 from scratch either, it starts from ImageNet
+    # (models/models.py pretrained='imagenet').  A short easy-task
+    # (task='motion') MTMM run plays that role here; stages 1-2 then
+    # transfer from it exactly like the reference transfers from ImageNet.
+    p.add_argument("--pretrain_epochs", type=int, default=0,
+                   help="easy-task stage-0 epochs (learnable mode)")
     p.add_argument("--sd_epochs", type=int, default=0,
                    help="override stage-2 epochs (0 = same as --epochs)")
     p.add_argument("--videos", type=int, default=512,
@@ -90,12 +100,14 @@ def main(argv=None):
     base_lr = args.lr or (0.01 if learn else 0.002)
     n_epochs = args.epochs or (15 if learn else 1)
 
-    def cfg(arch, epochs=None, **run_kw):
+    def cfg(arch, epochs=None, task=None, **run_kw):
         stage_epochs = epochs or n_epochs
         run_kw.setdefault("display", 1 if not learn else 8)
+        run_kw.setdefault("model_name", "rehearsal")
         return Config(
             data=DataConfig(dataset="synthetic", backend="synthetic",
-                            synthetic_task=(args.task if learn else "random"),
+                            synthetic_task=(task or args.task
+                                            if learn else "random"),
                             synthetic_videos=args.videos,
                             clip_len=args.clip_len, batch_size=args.batch,
                             num_classes=args.classes, crop_size=args.crop,
@@ -107,8 +119,7 @@ def main(argv=None):
             optim=OptimConfig(lr=base_lr, epochs=stage_epochs,
                               lr_steps=(max(stage_epochs * 2 // 3, 1),),
                               ema_decay=0.999),
-            run=RunConfig(run_dir=out_dir, model_name="rehearsal",
-                          ckpt_light=learn, **run_kw),
+            run=RunConfig(run_dir=out_dir, ckpt_light=learn, **run_kw),
         ).validate()
 
     report = {"batch": args.batch, "clip_len": args.clip_len,
@@ -119,8 +130,23 @@ def main(argv=None):
 
     max_steps = None if learn else args.steps
 
+    # stage 0 (learnable only): easy-task pretrain = the ImageNet proxy --
+    stage1_init = {}
+    if learn and args.pretrain_epochs:
+        c0 = cfg("tsn_mtmm", epochs=args.pretrain_epochs, task="motion",
+                 model_name="rehearsal_pre")
+        t0 = time.perf_counter()
+        res0 = run_training(c0, "mtmm", *build_train_datasets(c0, "mtmm"))
+        report["pretrain_wall_s"] = round(time.perf_counter() - t0, 1)
+        report["pretrain_val_top1"] = round(float(res0.get("best_top1",
+                                                           -1)), 2)
+        report["pretrain_epochs"] = args.pretrain_epochs
+        pre_best = os.path.join(res0["run_dir"], "rehearsal_pre_best_ckpt")
+        assert os.path.isdir(pre_best), "no stage-0 checkpoint written"
+        stage1_init = {"checkpoint_path": pre_best}
+
     # stage 1: MTMM ------------------------------------------------------
-    c1 = cfg("tsn_mtmm")
+    c1 = cfg("tsn_mtmm", **stage1_init)
     t0 = time.perf_counter()
     res1 = run_training(c1, "mtmm", *build_train_datasets(c1, "mtmm"),
                         max_steps_per_epoch=max_steps)

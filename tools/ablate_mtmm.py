@@ -38,6 +38,16 @@ def main(argv=None):
     p.add_argument("--task", default="motion_hard",
                    choices=["motion", "motion_hard"])
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    # shared warm-start for BOTH arms (round 5): from scratch the hard
+    # task gives a final-head-only model no gradient signal at all
+    # (runs/round5_probe MTMM flat at chance for 36 epochs), so a
+    # scratch-vs-scratch delta would measure noise.  The reference's two
+    # arms both start from ImageNet (models/models.py pretrained=
+    # 'imagenet'); here both start from the rehearsal's easy-task
+    # stage-0 checkpoint — the same init, non-strictly absorbed (the
+    # 'tsn' arm simply drops the depth decoder leaves).
+    p.add_argument("--init", default="",
+                   help="checkpoint dir both arms warm-start from")
     p.add_argument("--out", default="runs/round5_ablation")
     args = p.parse_args(argv)
 
@@ -68,6 +78,7 @@ def main(argv=None):
                               lr_steps=(max(args.epochs * 2 // 3, 1),),
                               ema_decay=0.999),
             run=RunConfig(run_dir=args.out, seed=seed, ckpt_light=True,
+                          checkpoint_path=args.init,
                           model_name=f"{arch}_s{seed}", display=8),
         ).validate()
 
@@ -86,6 +97,7 @@ def main(argv=None):
 
     deltas = np.array([r["delta"] for r in runs], np.float64)
     out = {"tool": "ablate_mtmm", "ts": time.strftime("%F %T"),
+           "init": args.init,
            "task": args.task, "lr": args.lr, "epochs": args.epochs,
            "videos": args.videos, "batch": args.batch,
            "classes": args.classes, "crop": args.crop,

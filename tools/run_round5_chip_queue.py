@@ -44,6 +44,13 @@ def newest_sd_ckpt():
     return cands[-1] if cands else ""
 
 
+def newest_pretrain_ckpt():
+    cands = sorted(glob.glob(os.path.join(
+        REPO, "runs", "round5_learnable", "synthetic", "MTMM", "*",
+        "rehearsal_pre_best_ckpt")))
+    return cands[-1] if cands else ""
+
+
 def run_job(name, cmd, tmo):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
@@ -78,7 +85,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--sd_epochs", type=int, default=0)
     p.add_argument("--ablate_epochs", type=int, default=16)
+    p.add_argument("--pretrain_epochs", type=int, default=20)
     p.add_argument("--videos", type=int, default=512)
+    p.add_argument("--ablate_videos", type=int, default=0,
+                   help="override ablation train-set size (0 = --videos)")
     args = p.parse_args(argv)
     py = sys.executable
 
@@ -88,31 +98,31 @@ def main(argv=None):
           "--task", "motion_hard", "--lr", str(args.lr),
           "--epochs", str(args.epochs),
           "--sd_epochs", str(args.sd_epochs or args.epochs),
+          "--pretrain_epochs", str(args.pretrain_epochs),
           "--videos", str(args.videos),
           "--out", "runs/round5_learnable"], 14000),
-        ("ablation",
-         [py, "tools/ablate_mtmm.py", "--lr", str(args.lr),
-          "--epochs", str(args.ablate_epochs),
-          "--videos", str(args.videos),
-          "--out", "runs/round5_ablation"], 14000),
     ]
-    jobs.append(
-        # VERDICT r4 weak #4: was the round-4 MTMM 53.9% plateau (36 ep,
-        # EASY task) budget or bug?  Extend stage 1 alone to 2x the budget.
-        ("mtmm_plateau",
-         [py, "tools/probe_learnable.py", "--task", "motion",
-          "--lr", "0.02", "--epochs", "72",
-          "--videos", str(args.videos),
-          "--out", "runs/round5_learnable_probe"], 10000))
-    # jobs needing the trained checkpoint are appended lazily
-    late = ["int8_agreement", "cascade", "bench"]
+    # jobs needing the trained checkpoint are appended lazily; the
+    # stage-1 plateau probe (VERDICT r4 weak #4) runs last, least critical
+    late = ["int8_agreement", "cascade", "bench", "mtmm_plateau"]
 
-    names = [j[0] for j in jobs] + late
+    names = [j[0] for j in jobs] + ["ablation"] + late
     only = set(args.only or names)
 
     for name, cmd, tmo in jobs:
         if name in only:
             run_job(name, cmd, tmo)
+
+    if "ablation" in only:
+        # both arms warm-start from the rehearsal's stage-0 easy-task
+        # checkpoint (the ImageNet proxy; see tools/ablate_mtmm.py)
+        pre = newest_pretrain_ckpt()
+        run_job("ablation",
+                [py, "tools/ablate_mtmm.py", "--lr", str(args.lr),
+                 "--epochs", str(args.ablate_epochs),
+                 "--videos", str(args.ablate_videos or args.videos),
+                 "--init", pre,
+                 "--out", "runs/round5_ablation"], 14000)
 
     ckpt = newest_sd_ckpt()
     if "int8_agreement" in only:
@@ -136,6 +146,14 @@ def main(argv=None):
             print("[queue] cascade skipped: no SD ckpt", flush=True)
     if "bench" in only:
         run_job("bench", [py, "bench.py"], 5400)
+    if "mtmm_plateau" in only:
+        # VERDICT r4 weak #4: was the round-4 MTMM 53.9% plateau (36 ep,
+        # EASY task) budget or bug?  Extend stage 1 alone to 2x the budget.
+        run_job("mtmm_plateau",
+                [py, "tools/probe_learnable.py", "--task", "motion",
+                 "--lr", "0.02", "--epochs", "72",
+                 "--videos", "512",
+                 "--out", "runs/round5_learnable_probe"], 10000)
 
 
 if __name__ == "__main__":
