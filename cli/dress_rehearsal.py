@@ -70,6 +70,12 @@ def main(argv=None):
     # transfer from it exactly like the reference transfers from ImageNet.
     p.add_argument("--pretrain_epochs", type=int, default=0,
                    help="easy-task stage-0 epochs (learnable mode)")
+    # re-grade an already-trained stage-2 checkpoint against the current
+    # test protocol (e.g. after the hard-only eval change) without paying
+    # for retraining — the ladder bar is a property of (model, protocol)
+    p.add_argument("--test_ckpt", default="",
+                   help="skip training; run only the 4-head test + bar "
+                        "on this SD checkpoint")
     p.add_argument("--sd_epochs", type=int, default=0,
                    help="override stage-2 epochs (0 = same as --epochs)")
     p.add_argument("--videos", type=int, default=512,
@@ -130,6 +136,12 @@ def main(argv=None):
 
     max_steps = None if learn else args.steps
 
+    if args.test_ckpt:
+        best2 = args.test_ckpt
+        assert os.path.isdir(best2), best2
+        report["test_ckpt"] = best2
+        return _run_test_protocol(args, cfg, report, best2, out_dir, learn)
+
     # stage 0 (learnable only): easy-task pretrain = the ImageNet proxy --
     stage1_init = {}
     if learn and args.pretrain_epochs:
@@ -170,6 +182,12 @@ def main(argv=None):
     # test protocol: multi-clip, 4 heads, on the stage-2 weights ---------
     best2 = os.path.join(res2["run_dir"], "rehearsal_best_ckpt")
     assert os.path.isdir(best2), "no stage-2 checkpoint written"
+    return _run_test_protocol(args, cfg, report, best2, out_dir, learn)
+
+
+def _run_test_protocol(args, cfg, report, best2, out_dir, learn):
+    from ehgr_tpu.eval.runner import run_test
+
     c3 = cfg("tsn_sd", checkpoint_path=best2)
     t0 = time.perf_counter()
     res3 = run_test(c3, arch="tsn_sd", heads=4)

@@ -87,12 +87,17 @@ def build_train_datasets(cfg: Config, stage: str,
     if cfg.data.backend == "synthetic":
         src = _synthetic_source(cfg)
         nv = cfg.data.synthetic_videos
-        mk = lambda n, seed: src(
+        # motion_hard grades val HARD-ONLY (dis_mixture off): easy mixture
+        # clips are a training aid, not an evaluation target (synthetic.py)
+        hard_eval = ({"dis_mixture": False}
+                     if cfg.data.synthetic_task == "motion_hard" else {})
+        mk = lambda n, seed, **kw: src(
             n_videos=n, clip_len=cfg.data.clip_len,
             size=(cfg.data.train_crop, cfg.data.train_crop),
             num_classes=cfg.data.num_classes,
-            fields=_STAGE_FIELDS[stage] + ("label",), seed=seed)
-        return mk(nv, cfg.run.seed), mk(max(nv // 4, 16), cfg.run.seed + 1)
+            fields=_STAGE_FIELDS[stage] + ("label",), seed=seed, **kw)
+        return (mk(nv, cfg.run.seed),
+                mk(max(nv // 4, 16), cfg.run.seed + 1, **hard_eval))
 
     cls = _STAGE_DATASET[stage]
     train_mode = "train_plus_val" if (
@@ -116,12 +121,14 @@ def build_test_dataset(cfg: Config, multiple_clip_test: bool = True):
     """The multi-clip test protocol dataset (``test.py:237-284``)."""
     if cfg.data.backend == "synthetic":
         src = _synthetic_source(cfg)
+        hard_eval = ({"dis_mixture": False}
+                     if cfg.data.synthetic_task == "motion_hard" else {})
         return src(
             n_videos=max(cfg.data.synthetic_videos // 2, 32),
             clip_len=cfg.data.clip_len,
             size=(cfg.data.crop_size, cfg.data.crop_size),
             num_classes=cfg.data.num_classes, fields=("rgb", "label"),
-            seed=cfg.run.seed + 7, clip_num=cfg.data.clip_num)
+            seed=cfg.run.seed + 7, clip_num=cfg.data.clip_num, **hard_eval)
     return InferenceDataset(
         cfg.data.annot_path, "test",
         spatial_transform=test_spatial_transform(cfg),

@@ -150,7 +150,8 @@ class LearnableClipSource:
                  size: Tuple[int, int] = (64, 64), num_classes: int = 16,
                  fields: Tuple[str, ...] = ("rgb", "label"), seed: int = 0,
                  clip_num: int = 0, noise: int = 96, hard: bool = False,
-                 distractors: int = 2, occlude: int = 0):
+                 distractors: int = 2, occlude: int = 0,
+                 dis_mixture: bool = True):
         assert num_classes <= 8 * 32, num_classes
         self.n = n_videos
         self.t = clip_len
@@ -161,6 +162,13 @@ class LearnableClipSource:
         self.noise = noise
         self.hard = hard
         self.occlude = occlude
+        # train keeps the 0..K mixture (easy clips give optimization a
+        # toothold); val/test grade HARD-ONLY (always K distractors — an
+        # in-support subset of the train distribution) so easy clips
+        # cannot inflate the exit ladder into saturation (round 5: the
+        # mixture-graded val hit 100/99.6/98.8/97.7 — ties and an
+        # inversion — while the reference's signature is a strict ladder)
+        self.dis_mixture = dis_mixture
         self.n_dirs = min(num_classes, len(_DIRS))
         if hard:
             # hard variant (VERDICT r4 next #1): label = dir * speed of the
@@ -221,7 +229,8 @@ class LearnableClipSource:
             # task has no partial credit and barely trains from scratch —
             # round-5 probe), clips with them grade difficulty so exits
             # ladder — deep features win the hard subset
-            n_dis = int(rng.integers(0, self.distractors + 1))
+            n_dis = (int(rng.integers(0, self.distractors + 1))
+                     if self.dis_mixture else self.distractors)
             # distractors first (target drawn last, always on top)
             for k in range(n_dis):
                 dd = _DIRS[rng.integers(0, len(_DIRS))]
