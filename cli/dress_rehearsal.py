@@ -76,10 +76,19 @@ def main(argv=None):
     p.add_argument("--test_ckpt", default="",
                    help="skip training; run only the 4-head test + bar "
                         "on this SD checkpoint")
+    p.add_argument("--init", default="",
+                   help="stage-1 warm-start checkpoint (reuse an existing "
+                        "stage-0 run instead of --pretrain_epochs)")
     p.add_argument("--sd_epochs", type=int, default=0,
                    help="override stage-2 epochs (0 = same as --epochs)")
     p.add_argument("--videos", type=int, default=512,
                    help="train videos (learnable mode)")
+    p.add_argument("--distractors", type=int, default=2,
+                   help="motion_hard: distractor count K (train mixes "
+                        "0..K, eval renders exactly K)")
+    p.add_argument("--occlude", type=int, default=0,
+                   help="motion_hard: frames per clip with the target "
+                        "hidden")
     p.add_argument("--lr", type=float, default=0.0,
                    help="override base lr (0 = stage defaults)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
@@ -114,6 +123,8 @@ def main(argv=None):
             data=DataConfig(dataset="synthetic", backend="synthetic",
                             synthetic_task=(task or args.task
                                             if learn else "random"),
+                            synthetic_distractors=args.distractors,
+                            synthetic_occlude=args.occlude,
                             synthetic_videos=args.videos,
                             clip_len=args.clip_len, batch_size=args.batch,
                             num_classes=args.classes, crop_size=args.crop,
@@ -132,7 +143,8 @@ def main(argv=None):
               "crop": args.crop, "classes": args.classes,
               "learnable": learn, "task": args.task if learn else "random",
               "lr": base_lr, "epochs": n_epochs,
-              "videos": args.videos}
+              "videos": args.videos, "distractors": args.distractors,
+              "occlude": args.occlude}
 
     max_steps = None if learn else args.steps
 
@@ -144,7 +156,11 @@ def main(argv=None):
 
     # stage 0 (learnable only): easy-task pretrain = the ImageNet proxy --
     stage1_init = {}
-    if learn and args.pretrain_epochs:
+    if args.init:
+        assert os.path.isdir(args.init), args.init
+        report["init"] = args.init
+        stage1_init = {"checkpoint_path": args.init}
+    elif learn and args.pretrain_epochs:
         c0 = cfg("tsn_mtmm", epochs=args.pretrain_epochs, task="motion",
                  model_name="rehearsal_pre")
         t0 = time.perf_counter()

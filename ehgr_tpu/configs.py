@@ -53,6 +53,11 @@ class DataConfig:
     # dir x speed labels) whose SD exit accuracies order strictly
     synthetic_task: str = "random"
     synthetic_videos: int = 64
+    # motion_hard difficulty knobs (data/synthetic.py): train uses a
+    # 0..K distractor mixture, eval renders exactly K; occlude hides the
+    # target for N frames per clip
+    synthetic_distractors: int = 2
+    synthetic_occlude: int = 0
 
 
 @dataclass(frozen=True)

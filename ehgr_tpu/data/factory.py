@@ -77,7 +77,10 @@ def _synthetic_source(cfg: Config):
     if task == "motion":
         return LearnableClipSource
     if task == "motion_hard":
-        return functools.partial(LearnableClipSource, hard=True)
+        return functools.partial(
+            LearnableClipSource, hard=True,
+            distractors=cfg.data.synthetic_distractors,
+            occlude=cfg.data.synthetic_occlude)
     return SyntheticClipSource
 
 
