@@ -79,6 +79,9 @@ def main(argv=None):
     p.add_argument("--init", default="",
                    help="stage-1 warm-start checkpoint (reuse an existing "
                         "stage-0 run instead of --pretrain_epochs)")
+    p.add_argument("--stage1_ckpt", default="",
+                   help="skip stages 0-1; run stage 2 + test from this "
+                        "MTMM checkpoint")
     p.add_argument("--sd_epochs", type=int, default=0,
                    help="override stage-2 epochs (0 = same as --epochs)")
     p.add_argument("--videos", type=int, default=512,
@@ -154,6 +157,13 @@ def main(argv=None):
         report["test_ckpt"] = best2
         return _run_test_protocol(args, cfg, report, best2, out_dir, learn)
 
+    if args.stage1_ckpt:
+        assert os.path.isdir(args.stage1_ckpt), args.stage1_ckpt
+        report["stage1_ckpt"] = args.stage1_ckpt
+        best = args.stage1_ckpt
+        return _run_sd_and_test(args, cfg, report, best, out_dir, learn,
+                                max_steps)
+
     # stage 0 (learnable only): easy-task pretrain = the ImageNet proxy --
     stage1_init = {}
     if args.init:
@@ -185,7 +195,17 @@ def main(argv=None):
     best = os.path.join(res1["run_dir"], "rehearsal_best_ckpt")
     assert os.path.isdir(best), "no stage-1 checkpoint written"
 
+    return _run_sd_and_test(args, cfg, report, best, out_dir, learn,
+                            max_steps)
+
+
+def _run_sd_and_test(args, cfg, report, best, out_dir, learn, max_steps):
     # stage 2: SD, init'd non-strict from the MTMM checkpoint ------------
+    import numpy as np
+
+    from ehgr_tpu.data.factory import build_train_datasets
+    from ehgr_tpu.train.loop import run_training
+
     c2 = cfg("tsn_sd", epochs=args.sd_epochs or None, checkpoint_path=best)
     t0 = time.perf_counter()
     res2 = run_training(c2, "sd", *build_train_datasets(c2, "sd"),
